@@ -1,0 +1,132 @@
+"""Sketch-guided sampling — the AntiGradientPipeline semantics, TPU-native.
+
+Reference hot loop: /root/reference/modules/pipeline.py:83-161. Each guided
+step runs the UNet with forward hooks, feeds the nine tapped activations to
+the LGP, and nudges the latents by the gradient of the LGP's MSE against the
+user sketch, taken w.r.t. the UNet input (``torch.autograd.grad``,
+pipeline.py:159), with step size  alpha = ||x - x_prev|| / ||grad|| * beta
+(beta = 1.6) on the first half of the schedule only (pipeline.py:90-92,109).
+
+TPU-first redesign:
+  * hooks -> ``capture_taps=True`` functional outputs; ``autograd.grad`` ->
+    ``jax.value_and_grad`` of a scalar-loss closure over the latent.
+  * guided/unguided phases are two separate ``fori_loop``s — branch-free,
+    no traced Python control flow (the x0 multistep history carries across).
+  * CFG split-batch guidance: the reference backprops the CFG-doubled batch
+    (2B) even though the loss only touches the cond half. Every module is
+    per-sample (GroupNorm/LayerNorm/eval BatchNorm), so the uncond half's
+    gradient is exactly zero — we run the uncond forward without taps or
+    gradient and differentiate only the cond half: same math, ~half the
+    backward FLOPs and tap memory.
+  * the reference's ||lmi - x_prev|| is a Frobenius norm over the DOUBLED
+    difference, i.e. sqrt(2)*||x - x_prev|| — preserved exactly.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sketch2img_tpu.core.schedulers import (
+    DiffusionSchedule,
+    get_noise_level,
+    plan_dpm_solver,
+    dpm_solver_step,
+)
+from sketch2img_tpu.models.unet import concat_taps
+from sketch2img_tpu.pipelines.text2img import cfg_combine
+
+
+def num_guided_steps(num_steps: int) -> int:
+    """i <= 0.5*num_steps (inclusive, pipeline.py:90-92,108)."""
+    return int(math.floor(0.5 * num_steps)) + 1
+
+
+def make_sketch_guided_fn(
+    unet_apply: Callable,
+    unet_apply_taps: Callable,
+    lgp_apply: Callable,
+    schedule: DiffusionSchedule,
+    num_steps: int,
+    *,
+    beta: float = 1.6,
+    vae_decode: Optional[Callable] = None,
+) -> Callable:
+    """Returns jit-able
+    ``fn(unet_params, lgp_vars, latents0, context_uncond, context_cond,
+    sketch_latent, guidance_scale) -> latents``.
+
+    * ``unet_apply(params, x, t, ctx) -> eps``
+    * ``unet_apply_taps(params, x, t, ctx) -> (eps, taps dict)``
+    * ``lgp_apply(vars, features, noise_level) -> (B,h,w,4)`` (eval mode)
+    * ``latents0``: (B,h,w,4) initial noise — also the reference's ``noise``
+      copy used for the noise-level feature (pipeline.py:75).
+    * ``sketch_latent``: (B,h,w,4) VAE-encoded sketch x0.18215 (app.py:109).
+    """
+    plan = plan_dpm_solver(schedule, num_steps)
+    timesteps = jnp.asarray(plan.timesteps)
+    n_guided = num_guided_steps(num_steps)
+
+    def run(unet_params, lgp_vars, latents0, context_uncond, context_cond,
+            sketch_latent, guidance_scale):
+        b, h, w, _ = latents0.shape
+        noise0 = latents0  # pipeline.py:75 — kept for noise-level features
+
+        def guided_body(i, carry):
+            x, x0_prev = carry
+            t = jnp.broadcast_to(timesteps[i], (b,))
+
+            eps_u = unet_apply(unet_params, x, t, context_uncond)
+
+            def loss_fn(xc):
+                eps_t, taps = unet_apply_taps(unet_params, xc, t, context_cond)
+                feats = concat_taps(taps, h, w)
+                nl = get_noise_level(schedule, noise0, t)
+                out = lgp_apply(lgp_vars, feats, nl)
+                # mse(target.float(), cond_outputs.float()) — pipeline.py:157
+                loss = jnp.mean(
+                    (sketch_latent.astype(jnp.float32) - out.astype(jnp.float32)) ** 2
+                )
+                return loss, eps_t
+
+            (_, eps_t), g = jax.value_and_grad(loss_fn, has_aux=True)(x)
+
+            eps_pair = jnp.concatenate([eps_u, eps_t], axis=0)
+            eps = cfg_combine(eps_pair, guidance_scale)
+            x_prev, x0 = dpm_solver_step(plan, i, x, eps, x0_prev)
+
+            cond_grad = -g
+            # ||cat([x,x]) - x_prev|| == sqrt(2) * ||x - x_prev|| (pipeline.py:160)
+            num = jnp.sqrt(2.0) * jnp.linalg.norm((x - x_prev).astype(jnp.float32))
+            den = jnp.linalg.norm(cond_grad.astype(jnp.float32))
+            alpha = num / jnp.maximum(den, 1e-20) * beta
+            return (x_prev + alpha * cond_grad.astype(x_prev.dtype), x0)
+
+        def plain_body(i, carry):
+            x, x0_prev = carry
+            t2 = jnp.broadcast_to(timesteps[i], (2 * b,))
+            inp = jnp.concatenate([x, x], axis=0)
+            ctx = jnp.concatenate([context_uncond, context_cond], axis=0)
+            eps = cfg_combine(unet_apply(unet_params, inp, t2, ctx), guidance_scale)
+            return dpm_solver_step(plan, i, x, eps, x0_prev)
+
+        carry = (latents0, jnp.zeros_like(latents0))
+        carry = jax.lax.fori_loop(0, n_guided, guided_body, carry)
+        carry = jax.lax.fori_loop(n_guided, num_steps, plain_body, carry)
+        return carry[0]
+
+    if vae_decode is None:
+        return run
+
+    from sketch2img_tpu.pipelines.text2img import latents_to_image
+
+    def full(unet_params, vae_params, lgp_vars, latents0, context_uncond,
+             context_cond, sketch_latent, guidance_scale):
+        latents = run(unet_params, lgp_vars, latents0, context_uncond,
+                      context_cond, sketch_latent, guidance_scale)
+        return latents_to_image(vae_decode, vae_params, latents)
+
+    return full

@@ -1,0 +1,76 @@
+"""Plain SD text-to-image sampling loop (CFG only) — jit-compiled.
+
+This is the unguided base of the reference's AntiGradientPipeline
+(modules/pipeline.py:20-130 minus the anti-gradient): CFG-doubled UNet
+epsilon, DPM-Solver++ 2M update, VAE decode. The whole denoise loop is one
+``lax.fori_loop`` inside one jit — static shapes per (H, W, steps), no host
+round-trips.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from sketch2img_tpu.core.schedulers import (
+    DiffusionSchedule,
+    plan_dpm_solver,
+    dpm_solver_step,
+)
+
+
+def cfg_combine(eps_pair: jnp.ndarray, guidance_scale) -> jnp.ndarray:
+    """uncond + g * (text - uncond) over a CFG-doubled batch (pipeline.py:99-101)."""
+    eps_u, eps_t = jnp.split(eps_pair, 2, axis=0)
+    return eps_u + guidance_scale * (eps_t - eps_u)
+
+
+def latents_to_image(vae_apply, params, latents: jnp.ndarray) -> jnp.ndarray:
+    """latents /0.18215 -> VAE decode -> [0,1] float image (pipeline.py:163-169)."""
+    img = vae_apply(params, latents / 0.18215)
+    return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+
+
+def make_text2img_fn(
+    unet_apply: Callable,
+    schedule: DiffusionSchedule,
+    num_steps: int,
+    *,
+    vae_decode: Optional[Callable] = None,
+) -> Callable:
+    """Returns jit-able ``fn(unet_params, latents0, context_pair,
+    guidance_scale) -> latents`` (or decoded image if ``vae_decode`` given,
+    signature then takes (unet_params, vae_params, ...)).
+
+    ``context_pair`` is the CFG-stacked (2B, N, 768) text embedding
+    ([uncond; cond], pipeline.py:55-57); ``latents0`` the (B, h, w, 4)
+    initial noise (DPM-Solver++ init_noise_sigma == 1).
+    """
+    plan = plan_dpm_solver(schedule, num_steps)
+    timesteps = jnp.asarray(plan.timesteps)
+
+    def denoise(unet_params, latents0, context_pair, guidance_scale):
+        def body(i, carry):
+            x, x0_prev = carry
+            t = jnp.broadcast_to(timesteps[i], (2 * x.shape[0],))
+            inp = jnp.concatenate([x, x], axis=0)
+            eps_pair = unet_apply(unet_params, inp, t, context_pair)
+            eps = cfg_combine(eps_pair, guidance_scale)
+            x, x0 = dpm_solver_step(plan, i, x, eps, x0_prev)
+            return (x, x0)
+
+        init = (latents0, jnp.zeros_like(latents0))
+        latents, _ = jax.lax.fori_loop(0, num_steps, body, init)
+        return latents
+
+    if vae_decode is None:
+        return denoise
+
+    def full(unet_params, vae_params, latents0, context_pair, guidance_scale):
+        latents = denoise(unet_params, latents0, context_pair, guidance_scale)
+        return latents_to_image(vae_decode, vae_params, latents)
+
+    return full
