@@ -1,0 +1,161 @@
+"""CLIP-variant (attention-injection) demo — parity port of
+/root/reference/modules/clip_guided_inf.py.
+
+Loads the SD stack with the clip-injection UNet variant, trained injection
+weights + CLIP vision encoder, encodes the sketchpad through CLIP-ViT and
+samples with the [zeros; hidden] CFG state pair and UI-strength scale
+(clip_guided_inf.py:100-118)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import time
+
+import numpy as np
+
+CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
+CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+class ClipGuidedPipeline:
+    def __init__(self, model_path: str, attn_weights: str = None,
+                 clip_weights: str = None):
+        import jax
+        import jax.numpy as jnp
+
+        from sketch2img_tpu.models.clip_vision import CLIPVisionEncoder
+        from sketch2img_tpu.models.unet import (
+            SD15_CONFIG,
+            UNet2DCondition,
+            num_transformer_blocks,
+        )
+        from sketch2img_tpu.runtime import SDComponents
+        from sketch2img_tpu.train.checkpoint import load_params_npz
+        from sketch2img_tpu.train.train_attn_inject import (
+            merge_injection_params,
+            split_injection_params,
+        )
+
+        self.c = SDComponents.from_diffusers_dir(model_path)
+        inj_config = dataclasses.replace(SD15_CONFIG, injection="clip")
+        self.unet = UNet2DCondition(inj_config, compute_dtype=jnp.bfloat16)
+        self.n_sites = num_transformer_blocks(inj_config)
+
+        states = [jnp.zeros((1, 257, 1024))] * self.n_sites
+        init_params = self.unet.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768)),
+            injection_states=states,
+        )["params"]
+        _, inj = split_injection_params(init_params)
+        if attn_weights:  # sketch_attn_model.npz (clip_guided_inf.py:47)
+            inj = load_params_npz(attn_weights)
+        self.unet_params = merge_injection_params(self.c.unet_params, inj)
+
+        self.clip = CLIPVisionEncoder(compute_dtype=jnp.bfloat16)
+        if clip_weights:  # sketch_encoder_model.npz (clip_guided_inf.py:51)
+            self.clip_params = load_params_npz(clip_weights)
+        else:
+            self.clip_params = self.clip.init(
+                jax.random.PRNGKey(1), jnp.zeros((1, 224, 224, 3))
+            )["params"]
+        self._fns = {}
+
+    def encode_sketch(self, spimg01: np.ndarray):
+        """CLIPImageProcessor parity: [0,1] -> resize 224 bicubic -> CLIP
+        mean/std normalize -> ViT last_hidden_state (clip_guided_inf.py:100-105)."""
+        import jax.numpy as jnp
+        from PIL import Image
+
+        arr = np.asarray(spimg01, np.float32)
+        if arr.ndim == 2:
+            arr = np.tile(arr[:, :, None], (1, 1, 3))
+        img = Image.fromarray((arr * 255).astype(np.uint8)).resize(
+            (224, 224), Image.BICUBIC
+        )
+        px = np.asarray(img, np.float32) / 255.0
+        px = (px - CLIP_MEAN) / CLIP_STD
+        return self.clip.apply({"params": self.clip_params}, jnp.asarray(px)[None])
+
+    def __call__(self, prompt, *, negative_prompt="", num_inference_steps=25,
+                 guidance_scale=7.5, width=512, height=512, seed=0,
+                 strength=0.5, spimg=None) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        from sketch2img_tpu.pipelines.attn_injected import (
+            cfg_injection_state,
+            make_attn_injected_fn,
+        )
+        from sketch2img_tpu.pipelines.text2img import latents_to_image
+        from sketch2img_tpu.runtime import SketchGuidedPipeline
+
+        helper = SketchGuidedPipeline(self.c)
+        uncond, cond = helper.encode_prompt(prompt, negative_prompt)
+        ctx_pair = jnp.concatenate([uncond, cond], axis=0)
+
+        key = jax.random.PRNGKey(seed if seed != 0 else np.random.randint(2**31 - 1))
+        h, w = height // 8, width // 8
+        latents0 = jax.random.normal(key, (1, h, w, 4), jnp.float32)
+
+        if spimg is not None:
+            hidden = self.encode_sketch(spimg)
+            state = cfg_injection_state(hidden)
+            scale = strength  # set_scale(strength), clip_guided_inf.py:108
+        else:
+            state = jnp.zeros((2, 257, 1024))
+            scale = 0.0
+
+        steps = int(num_inference_steps)
+        if steps not in self._fns:
+            def apply_inj(p, x, t, ctx, s, sc):
+                return self.unet.apply({"params": p}, x, t, ctx,
+                                       injection_states=s, injection_scale=sc)
+
+            self._fns[steps] = jax.jit(make_attn_injected_fn(
+                apply_inj, self.c.schedule, steps, self.n_sites))
+        latents = self._fns[steps](self.unet_params, latents0, ctx_pair,
+                                   state, scale, guidance_scale)
+        img = latents_to_image(functools.partial(self.c.vae_decode),
+                               self.c.vae_params, latents)
+        return np.asarray(img[0], np.float32)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--attn_weights", type=str, default=None)
+    parser.add_argument("--clip_weights", type=str, default=None)
+    parser.add_argument("--prompt", type=str, required=True)
+    parser.add_argument("--negative_prompt", type=str, default="")
+    parser.add_argument("--sketch", type=str, default=None)
+    parser.add_argument("--steps", type=int, default=25)
+    parser.add_argument("--guidance", type=float, default=7.5)
+    parser.add_argument("--strength", type=float, default=0.5)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--output", type=str, default="output.png")
+    args = parser.parse_args()
+
+    start = time.time()
+    pipe = ClipGuidedPipeline(args.model_path, args.attn_weights, args.clip_weights)
+    print(f"pipeline built in {time.time() - start:.2f} seconds")
+
+    spimg = None
+    if args.sketch:
+        from PIL import Image
+
+        spimg = np.asarray(Image.open(args.sketch).convert("L"), np.float32) / 255.0
+
+    img = pipe(args.prompt, negative_prompt=args.negative_prompt,
+               num_inference_steps=args.steps, guidance_scale=args.guidance,
+               strength=args.strength, seed=args.seed, spimg=spimg)
+    from PIL import Image
+
+    Image.fromarray((img * 255).astype(np.uint8)).save(args.output)
+    print(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,171 @@
+"""LGP training CLI — parity port of /root/reference/trainer.py.
+
+Same surface: ``--config`` YAML (train.yaml schema), ``--resume`` state dir;
+constant_with_warmup LR (150 steps), per-epoch model export, optional wandb.
+TPU-native core: one jit'd train step over a (data,)-sharded batch — DDP /
+AMP / bitsandbytes are replaced by the mesh, the dtype policy and optax
+(SURVEY.md §2.2 D7-D9).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+
+def parse_args():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default="train.yaml")
+    parser.add_argument("--network_weights", type=str, default=None,
+                        help="resume LGP params only (npz)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="orbax train-state directory")
+    parser.add_argument("--netg", type=str, default="weights/netG.pth",
+                        help="anime2sketch generator weights (trainer.py:114)")
+    return parser.parse_args()
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import torch
+    from tqdm import tqdm
+
+    from sketch2img_tpu.core.config import load_config
+    from sketch2img_tpu.data import ImageStore, Loader
+    from sketch2img_tpu.models.anime2sketch import (
+        convert_torch_anime2sketch,
+        create_anime2sketch,
+    )
+    from sketch2img_tpu.models.lgp import LatentEdgePredictor
+    from sketch2img_tpu.models.vae import AutoencoderKL
+    from sketch2img_tpu.parallel import make_mesh, shard_batch, shard_params
+    from sketch2img_tpu.runtime import SDComponents
+    from sketch2img_tpu.train.checkpoint import (
+        export_params_npz,
+        latest_checkpoint,
+        restore_train_state,
+        save_train_state,
+    )
+    from sketch2img_tpu.train.optim import make_lr_schedule, make_optimizer
+    from sketch2img_tpu.train.train_lgp import (
+        init_lgp_train_state,
+        make_lgp_train_step,
+    )
+
+    args = parse_args()
+    config = load_config(args.config)
+
+    # dataset (trainer.py:82-89)
+    c = SDComponents.from_diffusers_dir(config.model_path)
+    dataset = ImageStore(
+        size=config.resolution,
+        seed=config.seed,
+        rank=jax.process_index(),
+        tokenizer=c.tokenizer,
+        **config.dataset,
+    )
+    loader = Loader(
+        dataset, config.batch_size, seed=config.seed,
+        pad_to=dataset.max_length,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+
+    # sketch generator (trainer.py:113-116)
+    netg_sd = torch.load(args.netg, map_location="cpu", weights_only=True)
+    gan_params = convert_torch_anime2sketch(netg_sd)
+    gan = create_anime2sketch()
+
+    # LGP (trainer.py:110-111: 9320 -> 4, 9 octaves), fp32 like the reference
+    lgp = LatentEdgePredictor()
+    lgp_vars = lgp.init(
+        jax.random.PRNGKey(config.seed),
+        jnp.zeros((1, 2, 2, 9280)), jnp.zeros((1, 2, 2, 4)), train=False,
+    )
+
+    max_train_steps = config.train_epochs * len(loader)
+    lr = make_lr_schedule(
+        "constant_with_warmup",
+        config.optimizer.params["lr"],
+        150, max_train_steps,  # trainer.py:137-142
+    )
+    opt_params = {k: v for k, v in config.optimizer.params.items() if k != "lr"}
+    tx = make_optimizer(config.optimizer.name, lr, **opt_params)
+
+    step_fn = make_lgp_train_step(
+        lambda v, f, nl, train: lgp.apply(v, f, nl, train=train,
+                                          mutable=["batch_stats"]),
+        c.unet_apply_taps,
+        c.vae_encode_moments,
+        c.text_apply,
+        lambda p, img: gan.apply({"params": p}, img),
+        c.schedule, tx,
+    )
+    state = init_lgp_train_state(lgp_vars, tx)
+
+    if args.resume:
+        path = latest_checkpoint(args.resume) or args.resume
+        print(f"resume training from state: {path}")
+        state = restore_train_state(path, state)
+
+    # mesh: data-parallel batch, replicated params (trainer.py:91-98 / D8)
+    mesh = make_mesh()
+    frozen = shard_params(mesh, {
+        "unet": c.unet_params, "vae": c.vae_params,
+        "text": c.text_params, "gan": gan_params,
+    })
+    state = shard_params(mesh, state)
+    jstep = jax.jit(step_fn)
+
+    use_wandb = bool(config.get_path("monitor.wandb_id", ""))
+    if use_wandb and jax.process_index() == 0:
+        import wandb
+
+        wandb.init(project=config.monitor.wandb_id, reinit=False)
+
+    rng = jax.random.PRNGKey(config.seed)
+    global_step = int(state.step)
+    progress = tqdm(total=max_train_steps, initial=global_step, desc="steps",
+                    disable=jax.process_index() != 0, smoothing=0)
+    ckpt_dir = config.get_path("checkpoint_dir", "checkpoints/lgp")
+    ckpt_every = int(config.get_path("checkpoint_every", 500))
+
+    for epoch in range(config.train_epochs):
+        progress.set_description_str(f"Epoch {epoch + 1}/{config.train_epochs}")
+        loss_total, seen = 0.0, 0
+        for batch in loader:
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = jstep(state, frozen, shard_batch(mesh, batch), step_rng)
+            global_step += 1
+            progress.update(1)
+            loss = float(metrics["loss"])
+            loss_total += loss
+            seen += 1
+            progress.set_postfix(loss=loss_total / seen)
+            if use_wandb and jax.process_index() == 0:
+                import wandb
+
+                wandb.log({"loss": loss, "lr": float(lr(global_step))},
+                          step=global_step)
+            if global_step % ckpt_every == 0 and jax.process_index() == 0:
+                save_train_state(ckpt_dir, global_step, jax.device_get(state))
+            if global_step >= max_train_steps:
+                break
+
+        # per-epoch model export (trainer.py:273-279)
+        if jax.process_index() == 0:
+            export_params_npz(
+                "edge_predictor.npz",
+                {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)},
+            )
+
+    if jax.process_index() == 0:
+        save_train_state(ckpt_dir, global_step, jax.device_get(state))
+    print("done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,157 @@
+"""End-to-end runtime tests on a tiny stack: full text2img and sketch-guided
+generation through the user-facing pipeline API, the evaluation fixture,
+config loading, checkpoint round-trips."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sketch2img_tpu.core.config import Config, load_config
+from sketch2img_tpu.models.clip_text import CLIPTextConfig
+from sketch2img_tpu.models.lgp import LatentEdgePredictor
+from sketch2img_tpu.models.unet import UNetConfig
+from sketch2img_tpu.models.vae import VAEConfig
+from sketch2img_tpu.runtime import SDComponents, SketchGuidedPipeline
+from sketch2img_tpu.train.checkpoint import (
+    export_params_npz,
+    latest_checkpoint,
+    load_params_npz,
+    restore_train_state,
+    save_train_state,
+)
+
+
+class FakeTokenizerOutput:
+    def __init__(self, ids):
+        self.input_ids = ids
+
+
+class FakeTokenizer:
+    pad_token_id = 9
+
+    def __call__(self, prompt, padding=None, truncation=None, max_length=77):
+        ids = [ord(c) % 90 for c in prompt][:max_length]
+        if padding == "max_length":
+            ids = ids + [self.pad_token_id] * (max_length - len(ids))
+        return FakeTokenizerOutput(ids)
+
+
+TAP_CH = 480
+
+
+@pytest.fixture(scope="module")
+def tiny_components():
+    c = SDComponents.random_init(
+        compute_dtype=jnp.float32,
+        unet_config=UNetConfig(block_out_channels=(32, 32, 64, 64),
+                               cross_attn=(True, True, True, False),
+                               num_heads=2, cross_attention_dim=32),
+        vae_config=VAEConfig(block_out_channels=(32, 64)),
+        text_config=CLIPTextConfig(vocab_size=100, hidden_size=32,
+                                   intermediate_size=64, num_layers=2,
+                                   num_heads=4),
+        random_weights=True,
+    )
+    c.tokenizer = FakeTokenizer()
+    lgp = LatentEdgePredictor(input_dim=TAP_CH + 4 + 36, output_dim=4, num_layers=9)
+    c.lgp = lgp
+    c.lgp_vars = lgp.init(jax.random.PRNGKey(3),
+                          jnp.zeros((1, 4, 4, TAP_CH)), jnp.zeros((1, 4, 4, 4)),
+                          train=False)
+    return c
+
+
+def test_text2img_end_to_end(tiny_components):
+    pipe = SketchGuidedPipeline(tiny_components)
+    # VAE has one downsample (2 blocks) -> latent = size/2; UNet needs /8:
+    # use 128px -> 64 latent -> 8 at the bottleneck
+    img = pipe("a cat", num_inference_steps=2, width=128, height=128, seed=5)
+    assert img.shape == (128, 128, 3)
+    assert np.isfinite(img).all()
+    assert img.min() >= 0.0 and img.max() <= 1.0
+
+
+def test_sketch_guided_end_to_end(tiny_components):
+    pipe = SketchGuidedPipeline(tiny_components)
+    sketch = np.zeros((128, 128), np.float32)
+    sketch[30:90, 60:70] = 1.0
+    img = pipe("a tree", num_inference_steps=2, width=128, height=128, seed=5,
+               sketch_image=sketch)
+    assert img.shape == (128, 128, 3)
+    assert np.isfinite(img).all()
+
+
+def test_seed_determinism(tiny_components):
+    pipe = SketchGuidedPipeline(tiny_components)
+    a = pipe("x", num_inference_steps=2, width=128, height=128, seed=11)
+    b = pipe("x", num_inference_steps=2, width=128, height=128, seed=11)
+    c = pipe("x", num_inference_steps=2, width=128, height=128, seed=12)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, c)
+
+
+def test_evaluation_fixture(tiny_components):
+    from sketch2img_tpu.apps.evaluation import evaluate
+
+    rng = np.random.RandomState(0)
+    image01 = rng.uniform(0, 1, (128, 128, 3)).astype(np.float32)
+    out = evaluate(tiny_components, "p", "n", image01, timestep=100, seed=1)
+    assert out.dtype == np.uint8
+    assert out.shape == (128, 128, 3)
+    # threshold semantics: nothing in (0, 127] after <0.5 -> 0 cut
+    assert not ((out > 0) & (out < 128)).any()
+
+
+def test_config_roundtrip(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "name: test-run\nbatch_size: 4\ndataset:\n  img_path: [a, b]\n"
+        "optimizer:\n  name: adamw\n  params:\n    lr: 2.0e-4\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.batch_size == 4
+    assert cfg.dataset.img_path == ["a", "b"]
+    assert cfg.optimizer.params["lr"] == 2e-4
+    assert cfg.get_path("monitor.wandb_id", "") == ""
+    assert isinstance(cfg, Config)
+
+
+def test_npz_params_roundtrip(tmp_path):
+    params = {"a": {"b": np.ones((2, 3), np.float32)},
+              "c": np.arange(4.0, dtype=np.float32)}
+    path = str(tmp_path / "m.npz")
+    export_params_npz(path, params)
+    back = load_params_npz(path)
+    np.testing.assert_array_equal(back["a"]["b"], params["a"]["b"])
+    np.testing.assert_array_equal(back["c"], params["c"])
+
+
+def test_orbax_train_state_roundtrip(tmp_path):
+    import optax
+
+    from sketch2img_tpu.train.train_lgp import LGPTrainState
+
+    params = {"w": jnp.ones((3, 3))}
+    tx = optax.adamw(1e-3)
+    state = LGPTrainState(step=jnp.asarray(5, jnp.int32), params=params,
+                          batch_stats={"m": jnp.zeros((3,))},
+                          opt_state=tx.init(params))
+    d = str(tmp_path / "ckpt")
+    save_train_state(d, 5, jax.device_get(state))
+    path = latest_checkpoint(d)
+    assert path and path.endswith("step_00000005")
+    restored = restore_train_state(path, jax.device_get(state))
+    assert int(restored.step) == 5
+    np.testing.assert_array_equal(np.asarray(restored.params["w"]),
+                                  np.ones((3, 3)))
+
+
+def test_apps_importable():
+    import sketch2img_tpu.apps.app  # noqa: F401
+    import sketch2img_tpu.apps.clip_guided_inf  # noqa: F401
+    import sketch2img_tpu.apps.evaluation  # noqa: F401
+    import sketch2img_tpu.apps.pic2sketch  # noqa: F401
+    import sketch2img_tpu.apps.train_attn_inject  # noqa: F401
+    import sketch2img_tpu.apps.train_lgp  # noqa: F401
