@@ -100,8 +100,9 @@ def test_evaluation_fixture(tiny_components):
     out = evaluate(tiny_components, "p", "n", image01, timestep=100, seed=1)
     assert out.dtype == np.uint8
     assert out.shape == (128, 128, 3)
-    # threshold semantics: nothing in (0, 127] after <0.5 -> 0 cut
-    assert not ((out > 0) & (out < 128)).any()
+    # threshold semantics: nothing in (0, 127) after the <0.5 -> 0 cut
+    # (values >= 0.5 scale to >= 127.5, truncating to >= 127 in uint8)
+    assert not ((out > 0) & (out < 127)).any()
 
 
 def test_config_roundtrip(tmp_path):
