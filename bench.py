@@ -67,14 +67,17 @@ def main():
 
     args = (unet_vars["params"], lgp_vars, lat0, ctx_u, ctx_c, sketch, 7.5)
 
-    # warmup / compile
-    jax.block_until_ready(fn(*args))
+    def run_once():
+        # NOTE: on the axon TPU tunnel block_until_ready returns before the
+        # device finishes — a dependent host fetch is the only reliable sync.
+        return float(jnp.sum(fn(*args)))
+
+    run_once()  # warmup / compile
 
     n_iters = 3
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        run_once()
     dt = (time.perf_counter() - t0) / n_iters
 
     imgs_per_sec = b / dt

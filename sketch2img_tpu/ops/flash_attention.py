@@ -1,21 +1,184 @@
-"""Pallas flash-attention for TPU (placeholder gate in round-1 skeleton).
+"""Pallas TPU flash attention — the native replacement for the reference's
+xformers memory-efficient attention CUDA kernels (SURVEY.md §2.2 D6).
 
-The real kernel lands behind ``supported()``; until then every call routes to
-the fused-XLA path, which is already competitive at SD1.x sequence lengths
-(<= 16k image tokens). Keeping the gate here lets the models bind to a stable
-API while the kernel is iterated on TPU hardware.
+FlashAttention-2-style online-softmax forward, tiled for the MXU:
+  grid = (batch*heads, q_blocks, kv_blocks); the innermost grid dimension is
+  sequential on TPU, so running max/denominator/accumulator live in VMEM
+  scratch across kv iterations and the output block is written once at the
+  final kv step. K/V blocks stream HBM->VMEM via the pallas pipeline
+  (double-buffered automatically by the grid machinery).
+
+This removes the O(N^2) logits round-trips to HBM that dominate the SD UNet
+self-attentions (N = 4096 image tokens at 512^2). Head dims (40/80/160) are
+zero-padded to the 128-lane boundary — the MXU pads K-dims to 128 anyway, so
+this costs nothing relative to the XLA path.
+
+Differentiation: ``flash_attention`` carries a custom VJP whose backward
+recomputes attention probabilities with the fused-XLA path (exact same
+math). A full flash backward kernel is the next optimization step; forward
+is where the sampling loop spends its time (26 guided + 24 plain forwards
+vs 26 backwards per image).
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu is importable on CPU too; kernels gated by backend at runtime
+    from jax.experimental.pallas import tpu as pltpu
+except ImportError:  # pragma: no cover
+    pltpu = None
+
+_LANES = 128
+_DEFAULT_BLOCK_Q = 256
+_DEFAULT_BLOCK_K = 512
+_NEG_INF = -1e30
+
+# test hook: run the kernel in the pallas interpreter (works on CPU)
+_INTERPRET = False
+
+
+def set_interpret_mode(on: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = on
+
+
+def _pad_to(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
 def supported(q, k, v, mask) -> bool:
-    return False
+    """Gate: self/cross attention without additive mask, on a TPU backend,
+    with sequence lengths that tile cleanly."""
+    if mask is not None:
+        return False
+    if not _INTERPRET and jax.default_backend() not in ("tpu", "axon"):
+        return False
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    if d > 256:
+        return False
+    # kv length must fill at least one lane-tile after padding to blocks
+    return nq >= 128 and nk >= 128
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                      scale: float, kv_len: int, block_k: int):
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (BK, D)
+    v = v_ref[0]  # (BK, D)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, BK)
+
+    # mask padded kv rows (zero-padded K gives s=0, must not win the softmax)
+    kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kv_ids < kv_len, s, _NEG_INF)
+
+    m_prev = m_scr[:, :1]                       # (BQ, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (BQ, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)             # (BQ, 1)
+    p = jnp.exp(s - m_new)                      # (BQ, BK) fp32
+
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, D)
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(kb == nkb - 1)
+    def _finalize():
+        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, scale):
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    dtype = q.dtype
+
+    dp = _pad_to(d, _LANES)
+    block_q = min(_DEFAULT_BLOCK_Q, _pad_to(nq, 128))
+    block_k = min(_DEFAULT_BLOCK_K, _pad_to(nk, 128))
+    nq_p = _pad_to(nq, block_q)
+    nk_p = _pad_to(nk, block_k)
+
+    qr = jnp.pad(q.reshape(b * h, nq, d), ((0, 0), (0, nq_p - nq), (0, dp - d)))
+    kr = jnp.pad(k.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, dp - d)))
+    vr = jnp.pad(v.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, dp - d)))
+
+    grid = (b * h, nq_p // block_q, nk_p // block_k)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, scale=scale, kv_len=nk,
+                          block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda i, j, kb: (i, j, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda i, j, kb: (i, kb, 0)),
+            pl.BlockSpec((1, block_k, dp), lambda i, j, kb: (i, kb, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda i, j, kb: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_p, dp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # running max
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # running denom
+            pltpu.VMEM((block_q, dp), jnp.float32),      # output accumulator
+        ],
+        interpret=_INTERPRET,
+    )(qr, kr, vr)
+
+    return out[:, :nq, :d].reshape(b, h, nq, d)
+
+
+def _xla_reference(q, k, v, scale):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash(q, k, v, scale):
+    return _flash_forward(q, k, v, scale)
+
+
+def _flash_fwd_rule(q, k, v, scale):
+    return _flash_forward(q, k, v, scale), (q, k, v)
+
+
+def _flash_bwd_rule(scale, res, g):
+    # exact-math backward via recomputation (XLA path); flash backward
+    # kernel is a planned optimization.
+    q, k, v = res
+
+    def f(q, k, v):
+        return _xla_reference(q, k, v, scale)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def flash_attention(
@@ -23,6 +186,8 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float,
-    mask: Optional[jnp.ndarray],
+    mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    raise NotImplementedError
+    """q,k,v: (B, H, N, D). Returns (B, H, Nq, D)."""
+    assert mask is None, "use the xla backend for masked attention"
+    return _flash(q, k, v, scale)
