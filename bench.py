@@ -26,7 +26,7 @@ def main():
     import jax.numpy as jnp
 
     from sketch2img_tpu.core.schedulers import make_schedule
-    from sketch2img_tpu.models.lgp import LatentEdgePredictor
+    from sketch2img_tpu.models.lgp import LatentEdgePredictor, lgp_fused_apply
     from sketch2img_tpu.models.unet import SD15_CONFIG, UNet2DCondition
     from sketch2img_tpu.pipelines.sketch_guided import make_sketch_guided_fn
 
@@ -55,9 +55,12 @@ def main():
     def lgp_apply(v, f, nl):
         return lgp.apply(v, f, nl, train=False)
 
+    def lgp_fused(v, taps, nl, hh, ww):
+        return lgp_fused_apply(v, taps, nl, hh, ww, compute_dtype=jnp.bfloat16)
+
     sched = make_schedule()
     fn = jax.jit(make_sketch_guided_fn(unet_apply, unet_apply_taps, lgp_apply,
-                                       sched, steps))
+                                       sched, steps, lgp_apply_fused=lgp_fused))
 
     key = jax.random.PRNGKey(0)
     lat0 = jax.random.normal(key, (b, h, w, 4), jnp.float32)

@@ -54,6 +54,7 @@ def make_sketch_guided_fn(
     *,
     beta: float = 1.6,
     vae_decode: Optional[Callable] = None,
+    lgp_apply_fused: Optional[Callable] = None,
 ) -> Callable:
     """Returns jit-able
     ``fn(unet_params, lgp_vars, latents0, context_uncond, context_cond,
@@ -62,6 +63,9 @@ def make_sketch_guided_fn(
     * ``unet_apply(params, x, t, ctx) -> eps``
     * ``unet_apply_taps(params, x, t, ctx) -> (eps, taps dict)``
     * ``lgp_apply(vars, features, noise_level) -> (B,h,w,4)`` (eval mode)
+    * ``lgp_apply_fused`` (optional): ``(vars, taps, noise_level, h, w)`` —
+      native-resolution tap projection (models.lgp.lgp_fused_apply); exact
+      same math, skips the (B,h,w,9280) concat. Used when provided.
     * ``latents0``: (B,h,w,4) initial noise — also the reference's ``noise``
       copy used for the noise-level feature (pipeline.py:75).
     * ``sketch_latent``: (B,h,w,4) VAE-encoded sketch x0.18215 (app.py:109).
@@ -83,9 +87,12 @@ def make_sketch_guided_fn(
 
             def loss_fn(xc):
                 eps_t, taps = unet_apply_taps(unet_params, xc, t, context_cond)
-                feats = concat_taps(taps, h, w)
                 nl = get_noise_level(schedule, noise0, t)
-                out = lgp_apply(lgp_vars, feats, nl)
+                if lgp_apply_fused is not None:
+                    out = lgp_apply_fused(lgp_vars, taps, nl, h, w)
+                else:
+                    feats = concat_taps(taps, h, w)
+                    out = lgp_apply(lgp_vars, feats, nl)
                 # mse(target.float(), cond_outputs.float()) — pipeline.py:157
                 loss = jnp.mean(
                     (sketch_latent.astype(jnp.float32) - out.astype(jnp.float32)) ** 2

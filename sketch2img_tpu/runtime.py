@@ -222,9 +222,17 @@ class SketchGuidedPipeline:
         key = (kind, steps)
         if key not in self._fns:
             if kind == "sketch":
+                from sketch2img_tpu.models.lgp import lgp_fused_apply
+
+                def lgp_fused(v, taps, nl, hh, ww):
+                    return lgp_fused_apply(
+                        v, taps, nl, hh, ww,
+                        compute_dtype=self.c.lgp.compute_dtype,
+                    )
+
                 fn = make_sketch_guided_fn(
                     self.c.unet_apply, self.c.unet_apply_taps, self.c.lgp_apply,
-                    self.c.schedule, steps,
+                    self.c.schedule, steps, lgp_apply_fused=lgp_fused,
                 )
             else:
                 fn = make_text2img_fn(self.c.unet_apply, self.c.schedule, steps)
