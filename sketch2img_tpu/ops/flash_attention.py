@@ -1,23 +1,28 @@
 """Pallas TPU flash attention — the native replacement for the reference's
 xformers memory-efficient attention CUDA kernels (SURVEY.md §2.2 D6).
 
-FlashAttention-2-style online-softmax forward, tiled for the MXU:
-  grid = (batch*heads, q_blocks, kv_blocks); the innermost grid dimension is
-  sequential on TPU, so running max/denominator/accumulator live in VMEM
-  scratch across kv iterations and the output block is written once at the
-  final kv step. K/V blocks stream HBM->VMEM via the pallas pipeline
-  (double-buffered automatically by the grid machinery).
+FlashAttention-2-style online-softmax forward plus a two-kernel flash
+backward, tiled for the MXU:
+
+  forward:  grid (batch*heads, q_blocks, kv_blocks); the innermost grid
+            dimension is sequential on TPU, so running max/denominator/
+            accumulator live in VMEM scratch across kv iterations and the
+            output block (plus the row log-sum-exp L) is written at the
+            final kv step.
+  backward: dq pass with grid (BH, q_blocks, kv_blocks) accumulating dq in
+            scratch, and a dk/dv pass with grid (BH, kv_blocks, q_blocks)
+            accumulating dk/dv — both recompute p = exp(s - L) from the
+            saved L, never materializing the O(N^2) probabilities in HBM.
 
 This removes the O(N^2) logits round-trips to HBM that dominate the SD UNet
-self-attentions (N = 4096 image tokens at 512^2). Head dims (40/80/160) are
-zero-padded to the 128-lane boundary — the MXU pads K-dims to 128 anyway, so
-this costs nothing relative to the XLA path.
+self-attentions (N = 4096 image tokens at 512^2) in both directions — the
+guided sampling loop backprops through every self-attention
+(pipeline.py:159). Head dims (40/80/160) are zero-padded to the 128-lane
+boundary; the MXU pads K-dims to 128 anyway, so this costs nothing relative
+to the XLA path.
 
-Differentiation: ``flash_attention`` carries a custom VJP whose backward
-recomputes attention probabilities with the fused-XLA path (exact same
-math). A full flash backward kernel is the next optimization step; forward
-is where the sampling loop spends its time (26 guided + 24 plain forwards
-vs 26 backwards per image).
+Block sizes tuned on v5e: (2,8,4096,40) self-attention runs 0.96 ms with
+1024x1024 blocks vs 2.0 ms at 256x512 and ~3.5 ms for fused-XLA attention.
 """
 
 from __future__ import annotations
@@ -35,13 +40,11 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 _LANES = 128
-# tuned on v5e: (2,8,4096,40) self-attn runs 0.96 ms at 1024x1024 blocks vs
-# 2.0 ms at 256x512 (fewer grid steps, bigger MXU matmuls)
 _DEFAULT_BLOCK_Q = 1024
 _DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30
 
-# test hook: run the kernel in the pallas interpreter (works on CPU)
+# test hook: run the kernels in the pallas interpreter (works on CPU)
 _INTERPRET = False
 
 
@@ -55,8 +58,8 @@ def _pad_to(x: int, m: int) -> int:
 
 
 def supported(q, k, v, mask) -> bool:
-    """Gate: self/cross attention without additive mask, on a TPU backend,
-    with sequence lengths that tile cleanly."""
+    """Gate: attention without additive mask, on a TPU backend, with
+    sequence lengths that tile cleanly."""
     if mask is not None:
         return False
     if not _INTERPRET and jax.default_backend() not in ("tpu", "axon"):
@@ -65,12 +68,22 @@ def supported(q, k, v, mask) -> bool:
     nk = k.shape[2]
     if d > 256:
         return False
-    # kv length must fill at least one lane-tile after padding to blocks
     return nq >= 128 and nk >= 128
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
-                      scale: float, kv_len: int, block_k: int):
+def _block_sizes(nq: int, nk: int):
+    block_q = min(_DEFAULT_BLOCK_Q, _pad_to(nq, 128))
+    block_k = min(_DEFAULT_BLOCK_K, _pad_to(nk, 128))
+    return block_q, block_k
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
+                scale: float, kv_len: int, block_k: int):
     kb = pl.program_id(2)
     nkb = pl.num_programs(2)
 
@@ -80,36 +93,36 @@ def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # (BQ, D)
-    k = k_ref[0]  # (BK, D)
-    v = v_ref[0]  # (BK, D)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (BQ, BK)
 
-    # mask padded kv rows (zero-padded K gives s=0, must not win the softmax)
     kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(kv_ids < kv_len, s, _NEG_INF)
 
-    m_prev = m_scr[:, :1]                       # (BQ, 1)
-    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (BQ, 1)
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)             # (BQ, 1)
-    p = jnp.exp(s - m_new)                      # (BQ, BK) fp32
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
 
-    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(
+    l_scr[:, :1] = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (BQ, D)
-    acc_scr[:] = acc_scr[:] * alpha + pv
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    )
+    m_scr[:, :1] = m_new
 
     @pl.when(kb == nkb - 1)
     def _finalize():
-        o_ref[0] = (acc_scr[:] / l_scr[:, :1]).astype(o_ref.dtype)
+        l = l_scr[:, :1]
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        # row log-sum-exp, lane-broadcast (column 0 is the value; the full
+        # 128-lane tile keeps the store aligned with no transposes)
+        lse_ref[0] = jnp.broadcast_to(m_scr[:, :1] + jnp.log(l), lse_ref.shape[1:])
 
 
 def _flash_forward(q, k, v, scale):
@@ -118,8 +131,7 @@ def _flash_forward(q, k, v, scale):
     dtype = q.dtype
 
     dp = _pad_to(d, _LANES)
-    block_q = min(_DEFAULT_BLOCK_Q, _pad_to(nq, 128))
-    block_k = min(_DEFAULT_BLOCK_K, _pad_to(nk, 128))
+    block_q, block_k = _block_sizes(nq, nk)
     nq_p = _pad_to(nq, block_q)
     nk_p = _pad_to(nk, block_k)
 
@@ -129,17 +141,22 @@ def _flash_forward(q, k, v, scale):
 
     grid = (b * h, nq_p // block_q, nk_p // block_k)
 
-    out = pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, scale=scale, kv_len=nk,
-                          block_k=block_k),
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_len=nk, block_k=block_k),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, dp), lambda i, j, kb: (i, j, 0)),
             pl.BlockSpec((1, block_k, dp), lambda i, j, kb: (i, kb, 0)),
             pl.BlockSpec((1, block_k, dp), lambda i, j, kb: (i, kb, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, dp), lambda i, j, kb: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq_p, dp), dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda i, j, kb: (i, j, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda i, j, kb: (i, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nq_p, dp), dtype),
+            jax.ShapeDtypeStruct((b * h, nq_p, _LANES), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),  # running max
             pltpu.VMEM((block_q, _LANES), jnp.float32),  # running denom
@@ -148,7 +165,177 @@ def _flash_forward(q, k, v, scale):
         interpret=_INTERPRET,
     )(qr, kr, vr)
 
-    return out[:, :nq, :d].reshape(b, h, nq, d)
+    return out[:, :nq, :d].reshape(b, h, nq, d), lse
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                   dq_scr, *, scale: float, kv_len: int, block_k: int):
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]      # (BQ, 1)
+    delta = delta_ref[0][:, :1]  # (BQ, 1) = rowsum(do * o)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kv_ids < kv_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)  # (BQ, BK)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, BK)
+    ds = p * (dp - delta) * scale
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kb == nkb - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_scr, dv_scr, *,
+                    scale: float, kv_len: int, block_k: int):
+    qb = pl.program_id(2)
+    nqb = pl.num_programs(2)
+    kb = pl.program_id(1)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:, :1]
+    delta = delta_ref[0][:, :1]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, BK)
+    kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(kv_ids < kv_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)
+
+    # dv += p^T @ do
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - delta) * scale  # (BQ, BK)
+    # dk += ds^T @ q
+    dk_scr[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qb == nqb - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, o, lse, do, scale):
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    dtype = q.dtype
+
+    dp_ = _pad_to(d, _LANES)
+    block_q, block_k = _block_sizes(nq, nk)
+    nq_p = _pad_to(nq, block_q)
+    nk_p = _pad_to(nk, block_k)
+
+    qr = jnp.pad(q.reshape(b * h, nq, d), ((0, 0), (0, nq_p - nq), (0, dp_ - d)))
+    kr = jnp.pad(k.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, dp_ - d)))
+    vr = jnp.pad(v.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, dp_ - d)))
+    dor = jnp.pad(do.reshape(b * h, nq, d), ((0, 0), (0, nq_p - nq), (0, dp_ - d)))
+    # delta = rowsum(do * o) — cheap elementwise, computed in XLA;
+    # lane-broadcast to match the (.., LANES) stat layout
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta.reshape(b * h, nq), ((0, 0), (0, nq_p - nq)))
+    delta = jnp.broadcast_to(delta[:, :, None], (b * h, nq_p, _LANES))
+    # padded q rows keep lse=0: their p rows multiply zero do/q and are
+    # sliced away, but must stay finite to avoid NaN
+    lse_p = jnp.pad(lse, ((0, 0), (0, nq_p - lse.shape[1]), (0, 0)))
+
+    grid_dq = (b * h, nq_p // block_q, nk_p // block_k)
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=nk,
+                          block_k=block_k),
+        grid=grid_dq,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp_), lambda i, j, kb: (i, j, 0)),
+            pl.BlockSpec((1, block_k, dp_), lambda i, j, kb: (i, kb, 0)),
+            pl.BlockSpec((1, block_k, dp_), lambda i, j, kb: (i, kb, 0)),
+            pl.BlockSpec((1, block_q, dp_), lambda i, j, kb: (i, j, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda i, j, kb: (i, j, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda i, j, kb: (i, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp_), lambda i, j, kb: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_p, dp_), dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, dp_), jnp.float32)],
+        interpret=_INTERPRET,
+    )(qr, kr, vr, dor, lse_p, delta)
+
+    grid_dkv = (b * h, nk_p // block_k, nq_p // block_q)
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=nk,
+                          block_k=block_k),
+        grid=grid_dkv,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp_), lambda i, kb, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, dp_), lambda i, kb, j: (i, kb, 0)),
+            pl.BlockSpec((1, block_k, dp_), lambda i, kb, j: (i, kb, 0)),
+            pl.BlockSpec((1, block_q, dp_), lambda i, kb, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda i, kb, j: (i, j, 0)),
+            pl.BlockSpec((1, block_q, _LANES), lambda i, kb, j: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, dp_), lambda i, kb, j: (i, kb, 0)),
+            pl.BlockSpec((1, block_k, dp_), lambda i, kb, j: (i, kb, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nk_p, dp_), dtype),
+            jax.ShapeDtypeStruct((b * h, nk_p, dp_), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, dp_), jnp.float32),
+            pltpu.VMEM((block_k, dp_), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(qr, kr, vr, dor, lse_p, delta)
+
+    dq = dq[:, :nq, :d].reshape(b, h, nq, d)
+    dk = dk[:, :nk, :d].reshape(b, h, nk, d)
+    dv = dv[:, :nk, :d].reshape(b, h, nk, d)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# public API with custom VJP
+# ---------------------------------------------------------------------------
 
 
 def _xla_reference(q, k, v, scale):
@@ -161,23 +348,18 @@ def _xla_reference(q, k, v, scale):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q, k, v, scale):
-    return _flash_forward(q, k, v, scale)
+    out, _ = _flash_forward(q, k, v, scale)
+    return out
 
 
 def _flash_fwd_rule(q, k, v, scale):
-    return _flash_forward(q, k, v, scale), (q, k, v)
+    out, lse = _flash_forward(q, k, v, scale)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd_rule(scale, res, g):
-    # exact-math backward via recomputation (XLA path); flash backward
-    # kernel is a planned optimization.
-    q, k, v = res
-
-    def f(q, k, v):
-        return _xla_reference(q, k, v, scale)
-
-    _, vjp = jax.vjp(f, q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    return _flash_backward(q, k, v, o, lse, g, scale)
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
