@@ -154,13 +154,20 @@ def main():
             if global_step >= max_train_steps:
                 break
 
-        # per-epoch model export (trainer.py:273-279)
+        # per-epoch model export (+ optional hub push, trainer.py:273-279)
         if jax.process_index() == 0:
             export_params_npz(
                 "edge_predictor.npz",
                 {"params": jax.device_get(state.params),
                  "batch_stats": jax.device_get(state.batch_stats)},
             )
+            repo = config.get_path("monitor.huggingface_repo", "")
+            if repo:
+                from sketch2img_tpu.utils.hub import push_file
+
+                push_file(repo, "edge_predictor.npz",
+                          token=config.get_path("monitor.huggingface_token"),
+                          commit_message=f"add/update model: epoch {epoch}")
 
     if jax.process_index() == 0:
         save_train_state(ckpt_dir, global_step, jax.device_get(state))
