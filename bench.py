@@ -1,96 +1,244 @@
-"""Benchmark harness — prints ONE JSON line for the driver.
+"""Benchmark harness — prints ONE JSON line per run for the driver.
 
-Headline metric (BASELINE.md): 512x512, 50-step sketch-guided generation,
-images/sec/chip, full SD1.5-size models (random weights — throughput only),
-bf16 compute. ``vs_baseline`` divides by the documented A100 reference
-estimate below.
+Default (no args): the headline metric from BASELINE.md — 512x512, 50-step
+sketch-guided generation, images/sec/chip, full SD1.5-size models (random
+weights — throughput only), bf16 compute. ``--config N`` selects the other
+BASELINE.json configs:
+
+  1  anime2sketch U-Net edge extraction, one 512x512 image
+  2  LGP MLP inference over cached UNet activations
+  3  plain SD1.5 text2img, 50-step 512x512, CFG only
+  4  sketch-guided sampling with per-step LGP gradient guidance (default)
+  5  attention-injection variant, batch-8 generation
 
 Baseline note: the reference publishes NO numbers (BASELINE.md). The A100
-anchor used here is an engineering estimate for the reference code path
-(SD1.5 fp16+xformers ~20 UNet-it/s at 512^2 => ~2.5 s plain 50-step image;
-sketch-guided doubles ~26 of 50 steps with a full UNet backward ≈ 2x cost
-=> ~5 s/image => 0.20 img/s). Replace with a measured number when A100
-hardware is available.
+anchors are engineering estimates for the reference code path (SD1.5
+fp16+xformers ~20 UNet-it/s at 512^2 => ~2.5 s per plain 50-step image;
+sketch-guided doubles ~26 of 50 steps with a full UNet backward ≈ 2x
+=> ~0.20 img/s; batch-8 injection ≈ 0.55 img/s). Replace with measured
+numbers when A100 hardware is available.
+
+Timing note: on the axon TPU tunnel ``block_until_ready`` returns before
+execution completes — every timed region ends with a dependent host fetch.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
-A100_SKETCH_GUIDED_IMG_PER_SEC = 0.20  # documented estimate, see module docstring
+# documented A100 estimates (see module docstring)
+BASELINES = {
+    1: 0.03,   # anime2sketch 512^2 single image, seconds (CPU-free estimate)
+    2: 0.002,  # LGP inference over cached activations, seconds
+    3: 0.40,   # plain text2img, img/s
+    4: 0.20,   # sketch-guided, img/s
+    5: 0.55,   # batch-8 attn-injection, img/s
+}
 
 
-def main():
+def _emit(metric, value, unit, vs):
+    print(json.dumps({"metric": metric, "value": round(value, 6),
+                      "unit": unit, "vs_baseline": round(vs, 3)}))
+
+
+def _zeros_init(module, *a, **kw):
+    import jax
+    import jax.numpy as jnp
+
+    shapes = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *a, **kw))
+    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def _timed(fn, args, iters=3):
+    """Mean seconds/call. Each call syncs via a dependent host fetch; the
+    fetch round-trip (~30 ms through the axon tunnel) is measured with a
+    no-op and subtracted so sub-fetch-latency kernels report honestly."""
+    import jax
+    import jax.numpy as jnp
+
+    def once():
+        return float(jnp.sum(fn(*args)))
+
+    noop = jax.jit(jnp.sum)
+    tiny = jnp.ones((8, 8))
+    float(noop(tiny))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        float(noop(tiny))
+    baseline = (time.perf_counter() - t0) / 5
+
+    once()  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        once()
+    return max(1e-9, (time.perf_counter() - t0) / iters - baseline)
+
+
+def bench_anime2sketch():
+    import jax
+    import jax.numpy as jnp
+
+    from sketch2img_tpu.models.anime2sketch import create_anime2sketch
+
+    gan = create_anime2sketch(compute_dtype=jnp.bfloat16)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 512, 512, 3), jnp.float32)
+    params = _zeros_init(gan, x)["params"]
+    reps = 20
+
+    # chain reps GAN calls inside one jit (output fed back as input) so the
+    # per-call time resolves above the tunnel's fetch latency
+    @jax.jit
+    def chained(p, x):
+        def body(img, _):
+            y = gan.apply({"params": p}, img)
+            return jnp.tile(y, (1, 1, 1, 3)).astype(img.dtype), ()
+        out, _ = jax.lax.scan(body, x, None, length=reps)
+        return out
+
+    dt = _timed(chained, (params, x), iters=3) / reps
+    _emit("anime2sketch_512px_latency", dt, "seconds", BASELINES[1] / max(dt, 1e-9))
+
+
+def bench_lgp():
+    import jax
+    import jax.numpy as jnp
+
+    from sketch2img_tpu.models.lgp import LatentEdgePredictor
+
+    lgp = LatentEdgePredictor(compute_dtype=jnp.bfloat16)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 9280), jnp.float32)
+    nl = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 4), jnp.float32)
+    variables = _zeros_init(lgp, feats, nl)
+    variables = jax.tree_util.tree_map(lambda x: x + 0.5, variables)
+    reps = 20
+
+    @jax.jit
+    def chained(v, f, n):
+        def body(f, _):
+            out = lgp.apply(v, f, n, train=False)
+            # data-dependence without changing values meaningfully
+            return f + jnp.mean(out).astype(f.dtype) * 1e-20, ()
+        f, _ = jax.lax.scan(body, f, None, length=reps)
+        return f
+
+    dt = _timed(chained, (variables, feats, nl), iters=3) / reps
+    _emit("lgp_cached_activations_latency", dt, "seconds", BASELINES[2] / max(dt, 1e-9))
+
+
+def _sd_stack():
+    import jax.numpy as jnp
+
+    from sketch2img_tpu.models.lgp import LatentEdgePredictor
+    from sketch2img_tpu.models.unet import SD15_CONFIG, UNet2DCondition
+
+    unet = UNet2DCondition(SD15_CONFIG, compute_dtype=jnp.bfloat16)
+    lgp = LatentEdgePredictor(compute_dtype=jnp.bfloat16)
+    b, h, w = 1, 64, 64
+    unet_vars = _zeros_init(unet, jnp.zeros((b, h, w, 4)),
+                            jnp.zeros((b,), jnp.int32), jnp.zeros((b, 77, 768)))
+    lgp_vars = _zeros_init(lgp, jnp.zeros((b, h, w, 9280)), jnp.zeros((b, h, w, 4)))
+    import jax
+
+    lgp_vars = jax.tree_util.tree_map(lambda x: x + 0.5, lgp_vars)
+    return unet, lgp, unet_vars["params"], lgp_vars
+
+
+def bench_text2img():
     import jax
     import jax.numpy as jnp
 
     from sketch2img_tpu.core.schedulers import make_schedule
-    from sketch2img_tpu.models.lgp import LatentEdgePredictor, lgp_fused_apply
-    from sketch2img_tpu.models.unet import SD15_CONFIG, UNet2DCondition
+    from sketch2img_tpu.pipelines.text2img import make_text2img_fn
+
+    unet, _, up, _ = _sd_stack()
+    fn = jax.jit(make_text2img_fn(
+        lambda p, x, t, c: unet.apply({"params": p}, x, t, c),
+        make_schedule(), 50,
+    ))
+    lat0 = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 768), jnp.float32) * 0.1
+    dt = _timed(fn, (up, lat0, ctx, 7.5))
+    _emit("text2img_512px_50step_images_per_sec_per_chip", 1 / dt,
+          "images/sec/chip", (1 / dt) / BASELINES[3])
+
+
+def bench_sketch_guided():
+    import jax
+    import jax.numpy as jnp
+
+    from sketch2img_tpu.core.schedulers import make_schedule
+    from sketch2img_tpu.models.lgp import lgp_fused_apply
     from sketch2img_tpu.pipelines.sketch_guided import make_sketch_guided_fn
 
-    unet = UNet2DCondition(SD15_CONFIG, compute_dtype=jnp.bfloat16)
-    lgp = LatentEdgePredictor(compute_dtype=jnp.bfloat16)
+    unet, lgp, up, lv = _sd_stack()
 
-    b, h, w = 1, 64, 64
-    steps = 50
-
-    def zeros_init(module, *a, **kw):
-        shapes = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *a, **kw))
-        return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-
-    unet_vars = zeros_init(unet, jnp.zeros((b, h, w, 4)), jnp.zeros((b,), jnp.int32),
-                           jnp.zeros((b, 77, 768)))
-    lgp_vars = zeros_init(lgp, jnp.zeros((b, h, w, 9280)), jnp.zeros((b, h, w, 4)))
-    # non-degenerate BN stats for a realistic compute graph
-    lgp_vars = jax.tree_util.tree_map(lambda x: x + 0.5, lgp_vars)
-
-    def unet_apply(p, x, t, ctx):
-        return unet.apply({"params": p}, x, t, ctx)
-
-    def unet_apply_taps(p, x, t, ctx):
-        return unet.apply({"params": p}, x, t, ctx, capture_taps=True)
-
-    def lgp_apply(v, f, nl):
-        return lgp.apply(v, f, nl, train=False)
-
-    def lgp_fused(v, taps, nl, hh, ww):
-        return lgp_fused_apply(v, taps, nl, hh, ww, compute_dtype=jnp.bfloat16)
-
-    sched = make_schedule()
-    fn = jax.jit(make_sketch_guided_fn(unet_apply, unet_apply_taps, lgp_apply,
-                                       sched, steps, lgp_apply_fused=lgp_fused))
-
+    fn = jax.jit(make_sketch_guided_fn(
+        lambda p, x, t, c: unet.apply({"params": p}, x, t, c),
+        lambda p, x, t, c: unet.apply({"params": p}, x, t, c, capture_taps=True),
+        lambda v, f, n: lgp.apply(v, f, n, train=False),
+        make_schedule(), 50,
+        lgp_apply_fused=lambda v, taps, nl, hh, ww: lgp_fused_apply(
+            v, taps, nl, hh, ww, compute_dtype=jnp.bfloat16),
+    ))
     key = jax.random.PRNGKey(0)
-    lat0 = jax.random.normal(key, (b, h, w, 4), jnp.float32)
-    ctx_u = jax.random.normal(key, (b, 77, 768), jnp.float32) * 0.1
-    ctx_c = jax.random.normal(jax.random.PRNGKey(1), (b, 77, 768), jnp.float32) * 0.1
-    sketch = jax.random.normal(jax.random.PRNGKey(2), (b, h, w, 4), jnp.float32)
+    lat0 = jax.random.normal(key, (1, 64, 64, 4), jnp.float32)
+    ctx_u = jax.random.normal(key, (1, 77, 768), jnp.float32) * 0.1
+    ctx_c = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 768), jnp.float32) * 0.1
+    sketch = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 4), jnp.float32)
+    dt = _timed(fn, (up, lv, lat0, ctx_u, ctx_c, sketch, 7.5))
+    _emit("sketch_guided_512px_50step_images_per_sec_per_chip", 1 / dt,
+          "images/sec/chip", (1 / dt) / BASELINES[4])
 
-    args = (unet_vars["params"], lgp_vars, lat0, ctx_u, ctx_c, sketch, 7.5)
 
-    def run_once():
-        # NOTE: on the axon TPU tunnel block_until_ready returns before the
-        # device finishes — a dependent host fetch is the only reliable sync.
-        return float(jnp.sum(fn(*args)))
+def bench_attn_injected_batch8():
+    import dataclasses
 
-    run_once()  # warmup / compile
+    import jax
+    import jax.numpy as jnp
 
-    n_iters = 3
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        run_once()
-    dt = (time.perf_counter() - t0) / n_iters
+    from sketch2img_tpu.core.schedulers import make_schedule
+    from sketch2img_tpu.models.unet import (
+        SD15_CONFIG,
+        UNet2DCondition,
+        num_transformer_blocks,
+    )
+    from sketch2img_tpu.pipelines.attn_injected import make_attn_injected_fn
 
-    imgs_per_sec = b / dt
-    result = {
-        "metric": "sketch_guided_512px_50step_images_per_sec_per_chip",
-        "value": round(imgs_per_sec, 4),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec / A100_SKETCH_GUIDED_IMG_PER_SEC, 3),
-    }
-    print(json.dumps(result))
+    cfg = dataclasses.replace(SD15_CONFIG, injection="clip")
+    unet = UNet2DCondition(cfg, compute_dtype=jnp.bfloat16)
+    n = num_transformer_blocks(cfg)
+    b = 8
+    states_init = [jnp.zeros((2, 257, 1024))] * n
+    up = _zeros_init(unet, jnp.zeros((2, 64, 64, 4)), jnp.zeros((2,), jnp.int32),
+                     jnp.zeros((2, 77, 768)), injection_states=states_init)["params"]
+
+    fn = jax.jit(make_attn_injected_fn(
+        lambda p, x, t, c, s, sc: unet.apply({"params": p}, x, t, c,
+                                             injection_states=s,
+                                             injection_scale=sc),
+        make_schedule(), 25, n,  # demo default steps (clip_guided_inf.py:181)
+    ))
+    lat0 = jax.random.normal(jax.random.PRNGKey(0), (b, 64, 64, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2 * b, 77, 768), jnp.float32) * 0.1
+    state = jax.random.normal(jax.random.PRNGKey(2), (2 * b, 257, 1024), jnp.float32) * 0.1
+    dt = _timed(fn, (up, lat0, ctx, state, 0.5, 7.5))
+    _emit("attn_injected_batch8_512px_25step_images_per_sec_per_chip", b / dt,
+          "images/sec/chip", (b / dt) / BASELINES[5])
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5])
+    args = parser.parse_args()
+    {
+        1: bench_anime2sketch,
+        2: bench_lgp,
+        3: bench_text2img,
+        4: bench_sketch_guided,
+        5: bench_attn_injected_batch8,
+    }[args.config]()
 
 
 if __name__ == "__main__":

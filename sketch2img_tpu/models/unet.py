@@ -53,6 +53,10 @@ class UNetConfig:
     #        | "clip"   (CLIP-token concat self-attn, clip_guided_attn.py)
     injection: str = "none"
     injection_context_dim: int = 1024  # CLIP ViT-L/14 hidden (clip variant)
+    # rematerialize resnet/transformer activations in the backward pass —
+    # trades FLOPs for HBM (SURVEY.md §7 hard-part 1: vjp through the UNet
+    # inside the sampling loop / large-batch training)
+    remat: bool = False
 
 
 SD15_CONFIG = UNetConfig()
@@ -208,6 +212,8 @@ class UNet2DCondition(nn.Module):
         n_blocks = len(cfg.block_out_channels)
         inj = cfg.injection
         inj_idx = 0  # global TransformerBlock counter, torch named_modules order
+        Resnet = nn.remat(ResnetBlock) if cfg.remat else ResnetBlock
+        Transformer = nn.remat(SpatialTransformer) if cfg.remat else SpatialTransformer
 
         def take_inj(count: int):
             nonlocal inj_idx
@@ -227,9 +233,9 @@ class UNet2DCondition(nn.Module):
         # --- down ---
         for i, ch in enumerate(cfg.block_out_channels):
             for j in range(cfg.layers_per_block):
-                h = ResnetBlock(ch, compute_dtype=dt, name=f"down_{i}_resnet_{j}")(h, temb)
+                h = Resnet(ch, compute_dtype=dt, name=f"down_{i}_resnet_{j}")(h, temb)
                 if cfg.cross_attn[i]:
-                    h = SpatialTransformer(
+                    h = Transformer(
                         ch, cfg.num_heads, cfg.cross_attention_dim,
                         injection=inj, injection_context_dim=cfg.injection_context_dim,
                         compute_dtype=dt, name=f"down_{i}_attn_{j}",
@@ -243,17 +249,17 @@ class UNet2DCondition(nn.Module):
 
         # --- mid ---
         mid_ch = cfg.block_out_channels[-1]
-        h = ResnetBlock(mid_ch, compute_dtype=dt, name="mid_resnet_0")(h, temb)
+        h = Resnet(mid_ch, compute_dtype=dt, name="mid_resnet_0")(h, temb)
         if capture_taps:
             taps["mid_res_0"] = h.astype(jnp.float32)
-        h = SpatialTransformer(
+        h = Transformer(
             mid_ch, cfg.num_heads, cfg.cross_attention_dim,
             injection=inj, injection_context_dim=cfg.injection_context_dim,
             compute_dtype=dt, name="mid_attn",
         )(h, context, take_inj(1), injection_scale)
         if capture_taps:
             taps["mid_attn"] = h.astype(jnp.float32)
-        h = ResnetBlock(mid_ch, compute_dtype=dt, name="mid_resnet_1")(h, temb)
+        h = Resnet(mid_ch, compute_dtype=dt, name="mid_resnet_1")(h, temb)
         if capture_taps:
             taps["mid_res_1"] = h.astype(jnp.float32)
 
@@ -264,9 +270,9 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 res = res_stack.pop()
                 h = jnp.concatenate([h, res], axis=-1)
-                h = ResnetBlock(ch, compute_dtype=dt, name=f"up_{i}_resnet_{j}")(h, temb)
+                h = Resnet(ch, compute_dtype=dt, name=f"up_{i}_resnet_{j}")(h, temb)
                 if rev_ca[i]:
-                    h = SpatialTransformer(
+                    h = Transformer(
                         ch, cfg.num_heads, cfg.cross_attention_dim,
                         injection=inj, injection_context_dim=cfg.injection_context_dim,
                         compute_dtype=dt, name=f"up_{i}_attn_{j}",

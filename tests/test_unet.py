@@ -192,3 +192,26 @@ def test_down_residuals_matches_full_forward_params():
     assert res[0][0].shape == (1, 8, 8, 32)
     assert res[0][2].shape == (1, 4, 4, 32)
     assert res[1][1].shape == (1, 4, 4, 64)
+
+
+def test_remat_output_matches():
+    import dataclasses
+
+    cfg = _mini_cfg()
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    unet = UNet2DCondition(cfg)
+    unet_r = UNet2DCondition(cfg_r)
+    x = jnp.ones((1, 8, 8, 4))
+    t = jnp.array([7])
+    ctx = jnp.ones((1, 7, 24))
+    variables = unet.init(jax.random.PRNGKey(0), x, t, ctx)
+    a = unet.apply(variables, x, t, ctx)
+    b = unet_r.apply(variables, x, t, ctx)  # same params, rematted graph
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    # gradient path works under remat (the guided loop's requirement)
+    def loss(lat):
+        return jnp.sum(unet_r.apply(variables, lat, t, ctx) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert np.isfinite(np.asarray(g)).all()
