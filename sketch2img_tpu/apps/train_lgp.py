@@ -125,6 +125,16 @@ def main():
 
         wandb.init(project=config.monitor.wandb_id, reinit=False)
 
+    # mid-training sampling (the reference's dead sampling: block, made real)
+    from sketch2img_tpu.runtime import SketchGuidedPipeline
+    from sketch2img_tpu.train.sampling import TrainingSampler
+
+    helper = SketchGuidedPipeline(c)
+    sampler = TrainingSampler(
+        config.get_path("sampling", {}),
+        c.unet_apply, c.vae_decode, helper.encode_prompt, c.schedule,
+    )
+
     rng = jax.random.PRNGKey(config.seed)
     global_step = int(state.step)
     progress = tqdm(total=max_train_steps, initial=global_step, desc="steps",
@@ -135,24 +145,34 @@ def main():
     for epoch in range(config.train_epochs):
         progress.set_description_str(f"Epoch {epoch + 1}/{config.train_epochs}")
         loss_total, seen = 0.0, 0
+        t_prev = time.perf_counter()
         for batch in loader:
             rng, step_rng = jax.random.split(rng)
             state, metrics = jstep(state, frozen, shard_batch(mesh, batch), step_rng)
             global_step += 1
             progress.update(1)
-            loss = float(metrics["loss"])
+            loss = float(metrics["loss"])  # host fetch = step sync point
+            t_now = time.perf_counter()
+            imgs_per_sec = config.batch_size / max(t_now - t_prev, 1e-9)
+            t_prev = t_now
             loss_total += loss
             seen += 1
-            progress.set_postfix(loss=loss_total / seen)
+            progress.set_postfix(loss=loss_total / seen,
+                                 img_s=f"{imgs_per_sec:.1f}")
             if use_wandb and jax.process_index() == 0:
                 import wandb
 
-                wandb.log({"loss": loss, "lr": float(lr(global_step))},
-                          step=global_step)
+                wandb.log({"loss": loss, "lr": float(lr(global_step)),
+                           "images_per_sec": imgs_per_sec}, step=global_step)
             if global_step % ckpt_every == 0 and jax.process_index() == 0:
                 save_train_state(ckpt_dir, global_step, jax.device_get(state))
+            if sampler.should_sample(step=global_step) and jax.process_index() == 0:
+                sampler(c.unet_params, c.vae_params, f"step{global_step}")
             if global_step >= max_train_steps:
                 break
+
+        if sampler.should_sample(epoch=epoch) and jax.process_index() == 0:
+            sampler(c.unet_params, c.vae_params, f"epoch{epoch + 1}")
 
         # per-epoch model export (+ optional hub push, trainer.py:273-279)
         if jax.process_index() == 0:

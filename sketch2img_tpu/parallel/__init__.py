@@ -4,6 +4,16 @@ from sketch2img_tpu.parallel.mesh import (
     replicated,
     shard_params,
     shard_batch,
+    initialize_distributed,
+    sync_global_devices,
 )
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_params", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_params",
+    "shard_batch",
+    "initialize_distributed",
+    "sync_global_devices",
+]

@@ -22,6 +22,30 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host init (single-controller): call once per process before any
+    jax op on multi-host pods. Replaces the reference's LOCAL_RANK plumbing
+    (trainer.py:79) — afterwards jax.process_index()/process_count() give
+    rank identity and `make_mesh()` spans all global devices. No-op when
+    already initialized or single-process."""
+    import jax
+
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError) as e:
+        # already initialized, or single-process without coordinator config
+        if "already" not in str(e) and "coordinator" not in str(e).lower():
+            raise
+
+
+def sync_global_devices(tag: str = "barrier") -> None:
+    """Cross-host barrier — replaces accelerator.wait_for_everyone
+    (trainer.py:271)."""
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(tag)
+
+
 def make_mesh(
     devices: Optional[Sequence[jax.Device]] = None,
     model_parallel: int = 1,
