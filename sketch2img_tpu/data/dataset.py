@@ -176,6 +176,60 @@ class ImageStore:
         pixels = np.stack([e["images"] for e in examples]).astype(np.float32)
         return {"input_ids": input_ids, "pixels": pixels}
 
+    # -- aspect-ratio bucketing (the reference's dead arb: block, made real) --
+
+    def enable_arb(self, arb_config: Optional[dict] = None) -> dict:
+        """Assign every entry to an AR bucket (data/arb.py). Returns
+        {index: (w, h)}. Use with BucketBatcher + collate of bucketed items."""
+        from sketch2img_tpu.data.arb import assign_bucket, generate_buckets
+
+        cfg = dict(arb_config or {})
+        buckets = generate_buckets(
+            base_res=cfg.get("base_res", (self.size, self.size)),
+            max_size=cfg.get("max_size", (768, 512)),
+            divisible=cfg.get("divisible", 64),
+            min_dim=cfg.get("min_dim", 256),
+            dim_limit=cfg.get("dim_limit", 1024),
+        )
+        self.arb_assignments = {}
+        for idx, (path, _) in enumerate(self.entries):
+            with Image.open(self._real_path(path)) as im:
+                w, h = im.size
+            bucket = assign_bucket(w, h, buckets, cfg.get("max_ar_error", 4.0))
+            if bucket is not None:
+                self.arb_assignments[idx] = bucket
+        return self.arb_assignments
+
+    def _real_path(self, filepath: str) -> str:
+        if self.allow_duplicates and "@" in filepath:
+            return filepath[filepath.index("@") + 1:]
+        return filepath
+
+    def transform_bucket(self, img: Image.Image, bucket) -> np.ndarray:
+        """Resize-to-cover the bucket resolution, then crop. -> (H, W, 3)."""
+        bw, bh = bucket
+        w, h = img.size
+        s = max(bw / w, bh / h)
+        img = img.resize((max(bw, int(round(w * s))), max(bh, int(round(h * s)))),
+                         Image.LANCZOS)
+        w, h = img.size
+        if self.center_crop:
+            left, top = (w - bw) // 2, (h - bh) // 2
+        else:
+            left = self.rng.randint(0, max(0, w - bw))
+            top = self.rng.randint(0, max(0, h - bh))
+        arr = np.asarray(img.crop((left, top, left + bw, top + bh)), np.float32) / 255.0
+        return (arr - 0.5) / 0.5
+
+    def get_bucketed(self, index: int, bucket) -> dict:
+        path, prompt = self.entries[index % self._length]
+        if self.ucg and self.rng.random() < self.ucg:
+            prompt = ""
+        return {
+            "images": self.transform_bucket(self.read_img(path), bucket),
+            "prompt_ids": self.tokenize(prompt),
+        }
+
     def __len__(self) -> int:
         return self._length
 
