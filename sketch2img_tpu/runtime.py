@@ -71,10 +71,12 @@ class SDComponents:
         *,
         compute_dtype=jnp.bfloat16,
         unet_config: UNetConfig = SD15_CONFIG,
+        vae_config=SD15_VAE_CONFIG,
+        text_config=SD15_TEXT_CONFIG,
     ) -> "SDComponents":
         """Load a diffusers-format SD1.x model directory (the reference's
         ``StableDiffusionPipeline.from_pretrained(config.model_path)``,
-        trainer.py:102)."""
+        trainer.py:102). Accepts .safetensors or torch .bin weights."""
         unet_sd = _load_state_dict(
             os.path.join(model_path, "unet", "diffusion_pytorch_model")
         )
@@ -92,11 +94,11 @@ class SDComponents:
 
         return cls(
             unet=UNet2DCondition(unet_config, compute_dtype=compute_dtype),
-            vae=AutoencoderKL(SD15_VAE_CONFIG, compute_dtype=compute_dtype),
-            text_encoder=CLIPTextEncoder(SD15_TEXT_CONFIG, compute_dtype=compute_dtype),
+            vae=AutoencoderKL(vae_config, compute_dtype=compute_dtype),
+            text_encoder=CLIPTextEncoder(text_config, compute_dtype=compute_dtype),
             unet_params=convert_torch_unet(unet_sd, unet_config),
-            vae_params=convert_torch_vae(vae_sd),
-            text_params=convert_torch_clip_text(text_sd),
+            vae_params=convert_torch_vae(vae_sd, vae_config),
+            text_params=convert_torch_clip_text(text_sd, num_layers=text_config.num_layers),
             schedule=make_schedule(),
             tokenizer=tokenizer,
         )
