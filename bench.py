@@ -228,10 +228,24 @@ def bench_attn_injected_batch8():
           "images/sec/chip", (b / dt) / BASELINES[5])
 
 
+def _enable_compile_cache():
+    import os
+
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5])
     args = parser.parse_args()
+    _enable_compile_cache()
     {
         1: bench_anime2sketch,
         2: bench_lgp,
