@@ -155,6 +155,47 @@ class SDComponents:
         self.lgp = LatentEdgePredictor(compute_dtype=compute_dtype)
         self.lgp_vars = {"params": params, "batch_stats": stats}
 
+    def save_native(self, directory: str) -> None:
+        """One-time conversion target: save all parameter trees as npz so
+        production serving never touches torch pickles again."""
+        from sketch2img_tpu.train.checkpoint import export_params_npz
+
+        os.makedirs(directory, exist_ok=True)
+        export_params_npz(os.path.join(directory, "unet.npz"), self.unet_params)
+        export_params_npz(os.path.join(directory, "vae.npz"), self.vae_params)
+        export_params_npz(os.path.join(directory, "text.npz"), self.text_params)
+        if self.lgp_vars is not None:
+            export_params_npz(os.path.join(directory, "lgp.npz"), self.lgp_vars)
+
+    @classmethod
+    def from_native(
+        cls,
+        directory: str,
+        *,
+        compute_dtype=jnp.bfloat16,
+        unet_config: UNetConfig = SD15_CONFIG,
+        vae_config=SD15_VAE_CONFIG,
+        text_config=SD15_TEXT_CONFIG,
+        tokenizer=None,
+    ) -> "SDComponents":
+        from sketch2img_tpu.train.checkpoint import load_params_npz
+
+        c = cls(
+            unet=UNet2DCondition(unet_config, compute_dtype=compute_dtype),
+            vae=AutoencoderKL(vae_config, compute_dtype=compute_dtype),
+            text_encoder=CLIPTextEncoder(text_config, compute_dtype=compute_dtype),
+            unet_params=load_params_npz(os.path.join(directory, "unet.npz")),
+            vae_params=load_params_npz(os.path.join(directory, "vae.npz")),
+            text_params=load_params_npz(os.path.join(directory, "text.npz")),
+            schedule=make_schedule(),
+            tokenizer=tokenizer,
+        )
+        lgp_path = os.path.join(directory, "lgp.npz")
+        if os.path.exists(lgp_path):
+            c.lgp = LatentEdgePredictor()
+            c.lgp_vars = load_params_npz(lgp_path)
+        return c
+
     @property
     def vae_scale_factor(self) -> int:
         """Pixel-to-latent downscale (8 for SD1.x)."""

@@ -102,3 +102,21 @@ def test_bin_and_safetensors_agree(tmp_path):
 def test_missing_checkpoint_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         SDComponents.from_diffusers_dir(str(tmp_path / "nope"))
+
+
+def test_native_format_roundtrip(tmp_path):
+    src = SDComponents.from_diffusers_dir(
+        _make_dir(tmp_path, "bin"), compute_dtype=jnp.float32,
+        unet_config=UNET_CFG, vae_config=VAE_CFG, text_config=TEXT_CFG)
+    native = str(tmp_path / "native")
+    src.save_native(native)
+    back = SDComponents.from_native(
+        native, compute_dtype=jnp.float32,
+        unet_config=UNET_CFG, vae_config=VAE_CFG, text_config=TEXT_CFG)
+    a = np.asarray(src.unet_params["conv_in"]["kernel"])
+    b = np.asarray(back.unet_params["conv_in"]["kernel"])
+    np.testing.assert_array_equal(a, b)
+    back.tokenizer = FakeTokenizer()
+    img = SketchGuidedPipeline(back)("x", num_inference_steps=1,
+                                     width=64, height=64, seed=1)
+    assert img.shape == (64, 64, 3)
