@@ -67,11 +67,30 @@ def main():
         tokenizer=c.tokenizer,
         **config.dataset,
     )
-    loader = Loader(
-        dataset, config.batch_size, seed=config.seed,
-        pad_to=dataset.max_length,
-        process_index=jax.process_index(), process_count=jax.process_count(),
-    )
+    arb_enabled = bool(config.get_path("arb.enabled", False))
+    if arb_enabled:
+        # aspect-ratio bucketing (train.yaml arb: block — dead in the
+        # reference, live here): same-bucket batches, one XLA program per
+        # bucket resolution
+        from sketch2img_tpu.data.arb import BucketBatcher
+
+        assignments = dataset.enable_arb(dict(config.get_path("arb", {})))
+        batcher = BucketBatcher(assignments, config.batch_size, seed=config.seed)
+
+        def arb_loader():
+            for bucket, idxs in batcher:
+                examples = [dataset.get_bucketed(i, bucket) for i in idxs]
+                yield dataset.collate_fn(examples, pad_to=dataset.max_length)
+
+        loader = arb_loader
+        loader_len = len(batcher)
+    else:
+        loader = Loader(
+            dataset, config.batch_size, seed=config.seed,
+            pad_to=dataset.max_length,
+            process_index=jax.process_index(), process_count=jax.process_count(),
+        )
+        loader_len = len(loader)
 
     # sketch generator (trainer.py:113-116)
     netg_sd = torch.load(args.netg, map_location="cpu", weights_only=True)
@@ -85,7 +104,7 @@ def main():
         jnp.zeros((1, 2, 2, 9280)), jnp.zeros((1, 2, 2, 4)), train=False,
     )
 
-    max_train_steps = config.train_epochs * len(loader)
+    max_train_steps = config.train_epochs * loader_len
     lr = make_lr_schedule(
         "constant_with_warmup",
         config.optimizer.params["lr"],
@@ -146,7 +165,7 @@ def main():
         progress.set_description_str(f"Epoch {epoch + 1}/{config.train_epochs}")
         loss_total, seen = 0.0, 0
         t_prev = time.perf_counter()
-        for batch in loader:
+        for batch in (loader() if arb_enabled else loader):
             rng, step_rng = jax.random.split(rng)
             state, metrics = jstep(state, frozen, shard_batch(mesh, batch), step_rng)
             global_step += 1
