@@ -229,3 +229,38 @@ def test_attn_injected_scale_zero_matches_base(mini_stack):
     assert out0.shape == (1, 8, 8, 4)
     # scale must modulate the output
     assert not np.allclose(np.asarray(out0), np.asarray(out1))
+
+
+def test_sketch_guided_fused_lgp_matches_naive(mini_stack):
+    """The native-resolution fused LGP head inside the full guided loop must
+    reproduce the naive concat_taps path."""
+    from sketch2img_tpu.models.lgp import lgp_fused_apply
+
+    _, unet, params, _, lgp, lgp_vars = mini_stack
+    sched = make_schedule()
+    rng = np.random.RandomState(9)
+    lat0 = jnp.asarray(rng.randn(1, 16, 16, 4), jnp.float32)
+    ctx_u = jnp.asarray(rng.randn(1, 7, 24), jnp.float32)
+    ctx_c = jnp.asarray(rng.randn(1, 7, 24), jnp.float32)
+    target = jnp.asarray(rng.randn(1, 16, 16, 4), jnp.float32)
+
+    def unet_apply(p, x, t, ctx):
+        return unet.apply({"params": p}, x, t, ctx)
+
+    def unet_apply_taps(p, x, t, ctx):
+        return unet.apply({"params": p}, x, t, ctx, capture_taps=True)
+
+    def lgp_apply(v, feats, nl):
+        return lgp.apply(v, feats, nl, train=False)
+
+    fn_naive = make_sketch_guided_fn(unet_apply, unet_apply_taps, lgp_apply,
+                                     sched, 3)
+    fn_fused = make_sketch_guided_fn(
+        unet_apply, unet_apply_taps, lgp_apply, sched, 3,
+        lgp_apply_fused=lambda v, taps, nl, hh, ww: lgp_fused_apply(
+            v, taps, nl, hh, ww),
+    )
+    a = fn_naive(params, lgp_vars, lat0, ctx_u, ctx_c, target, 7.5)
+    b = fn_fused(params, lgp_vars, lat0, ctx_u, ctx_c, target, 7.5)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-3, atol=1e-4)
