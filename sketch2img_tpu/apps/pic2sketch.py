@@ -46,7 +46,6 @@ def main():
     params = convert_torch_anime2sketch(sd)
     gan = create_anime2sketch()
 
-    import functools
     import jax
 
     gan_apply = jax.jit(lambda p, x: gan.apply({"params": p}, x))

@@ -10,7 +10,6 @@ AMP / bitsandbytes are replaced by the mesh, the dtype policy and optax
 from __future__ import annotations
 
 import argparse
-import os
 import time
 
 
@@ -29,7 +28,6 @@ def parse_args():
 def main():
     import jax
     import jax.numpy as jnp
-    import numpy as np
     import torch
     from tqdm import tqdm
 
@@ -40,7 +38,6 @@ def main():
         create_anime2sketch,
     )
     from sketch2img_tpu.models.lgp import LatentEdgePredictor
-    from sketch2img_tpu.models.vae import AutoencoderKL
     from sketch2img_tpu.parallel import make_mesh, shard_batch, shard_params
     from sketch2img_tpu.runtime import SDComponents
     from sketch2img_tpu.train.checkpoint import (

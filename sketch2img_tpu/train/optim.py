@@ -8,7 +8,6 @@ the same config surface (lr / weight_decay / eps, train.yaml:32-35).
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Dict
 
 import optax

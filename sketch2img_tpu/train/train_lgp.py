@@ -17,7 +17,6 @@ the reference's host-side fp32 GAN (trainer.py:152) would starve the chip.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, Tuple
 
 import jax
