@@ -20,5 +20,8 @@ def assert_tree_finite(tree, name: str = "tree") -> None:
         if arr.dtype.kind != "f":
             continue
         if not bool(jnp.isfinite(arr).all()):
-            keystr = "/".join(str(p) for p in path)
+            keystr = "/".join(
+                str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p))))
+                for p in path
+            )
             raise FloatingPointError(f"non-finite values in {name}:{keystr}")

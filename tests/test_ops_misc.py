@@ -1,0 +1,54 @@
+"""Coverage for ops.resize (torch interpolate parity), utils.debug, and the
+pic2sketch app function."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from sketch2img_tpu.ops.resize import resize_bilinear  # noqa: E402
+from sketch2img_tpu.utils.debug import assert_tree_finite  # noqa: E402
+
+
+@pytest.mark.parametrize("src,dst", [(8, 16), (8, 64), (16, 16), (5, 13)])
+def test_resize_matches_torch_interpolate(src, dst):
+    """pipeline.py:147 semantics: F.interpolate(mode='bilinear',
+    align_corners=False) on upsampling paths."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, src, src).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(x), size=dst, mode="bilinear").numpy()
+    got = resize_bilinear(jnp.asarray(x.transpose(0, 2, 3, 1)), dst, dst)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), want,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_assert_tree_finite():
+    assert_tree_finite({"a": jnp.ones(3), "b": {"c": jnp.zeros(2)}})
+    with pytest.raises(FloatingPointError, match="b/c"):
+        assert_tree_finite({"a": jnp.ones(3), "b": {"c": jnp.asarray([1.0, np.nan])}})
+    # integer leaves are skipped
+    assert_tree_finite({"i": jnp.asarray([1, 2], jnp.int32)})
+
+
+def test_pic2sketch_function():
+    from PIL import Image
+
+    from sketch2img_tpu.apps.pic2sketch import pic2sketch
+    from sketch2img_tpu.models.anime2sketch import UnetGenerator
+
+    gan = UnetGenerator(3, 1, num_downs=5, ngf=4)
+    params = gan.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
+
+    def gan_apply(p, x):
+        return gan.apply({"params": p}, x)
+
+    rng = np.random.RandomState(1)
+    img = Image.fromarray(rng.randint(0, 255, (48, 40, 3), np.uint8))
+    out = pic2sketch(gan_apply, params, img, load_size=32)
+    assert out.size == (40, 48)  # restored to original size (generate.py:14)
+    arr = np.asarray(out)
+    assert set(np.unique(arr)).issubset({0, 255}) or arr.dtype == np.uint8
