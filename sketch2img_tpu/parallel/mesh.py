@@ -33,8 +33,12 @@ def initialize_distributed(**kwargs) -> None:
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError) as e:
-        # already initialized, or single-process without coordinator config
-        if "already" not in str(e) and "coordinator" not in str(e).lower():
+        # benign in single-process runs: already initialized, no coordinator
+        # configured, or the backend was already brought up (no distributed
+        # setup needed then)
+        msg = str(e).lower()
+        if not any(t in msg for t in ("already", "coordinator",
+                                      "must be called before")):
             raise
 
 

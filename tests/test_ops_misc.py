@@ -52,3 +52,28 @@ def test_pic2sketch_function():
     assert out.size == (40, 48)  # restored to original size (generate.py:14)
     arr = np.asarray(out)
     assert set(np.unique(arr)).issubset({0, 255}) or arr.dtype == np.uint8
+
+
+def test_device_timeit_returns_nonnegative():
+    from sketch2img_tpu.utils.profiling import device_timeit
+
+    f = jax.jit(lambda x: x * 2 + 1)
+    x = jnp.ones((64, 64))
+    dt = device_timeit(f, x, iters=3)
+    assert isinstance(dt, float) and dt >= 0.0
+
+
+def test_initialize_distributed_single_process_noop():
+    from sketch2img_tpu.parallel import initialize_distributed
+
+    # single process without coordinator config: swallowed, not raised
+    initialize_distributed()
+
+
+def test_ddim_plan_leading_spacing():
+    from sketch2img_tpu.core.schedulers import make_schedule, plan_ddim
+
+    plan = plan_ddim(make_schedule(), 50)
+    # diffusers leading spacing: t_i = (1000//50)*i, descending
+    np.testing.assert_array_equal(plan.timesteps[::-1], np.arange(50) * 20)
+    assert plan.sqrt_ac_prev[-1] == 1.0  # terminal target is fully denoised
