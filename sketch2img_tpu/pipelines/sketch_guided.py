@@ -37,7 +37,7 @@ from sketch2img_tpu.core.schedulers import (
     dpm_solver_step,
 )
 from sketch2img_tpu.models.unet import concat_taps
-from sketch2img_tpu.pipelines.text2img import cfg_combine
+from sketch2img_tpu.pipelines.text2img import cfg_combine, emit_callback
 
 
 def num_guided_steps(num_steps: int) -> int:
@@ -55,6 +55,8 @@ def make_sketch_guided_fn(
     beta: float = 1.6,
     vae_decode: Optional[Callable] = None,
     lgp_apply_fused: Optional[Callable] = None,
+    callback: Optional[Callable] = None,
+    callback_steps: int = 1,
 ) -> Callable:
     """Returns jit-able
     ``fn(unet_params, lgp_vars, latents0, context_uncond, context_cond,
@@ -110,7 +112,9 @@ def make_sketch_guided_fn(
             num = jnp.sqrt(2.0) * jnp.linalg.norm((x - x_prev).astype(jnp.float32))
             den = jnp.linalg.norm(cond_grad.astype(jnp.float32))
             alpha = num / jnp.maximum(den, 1e-20) * beta
-            return (x_prev + alpha * cond_grad.astype(x_prev.dtype), x0)
+            x_next = x_prev + alpha * cond_grad.astype(x_prev.dtype)
+            emit_callback(callback, callback_steps, i, t, x_next)
+            return (x_next, x0)
 
         def plain_body(i, carry):
             x, x0_prev = carry
@@ -118,7 +122,9 @@ def make_sketch_guided_fn(
             inp = jnp.concatenate([x, x], axis=0)
             ctx = jnp.concatenate([context_uncond, context_cond], axis=0)
             eps = cfg_combine(unet_apply(unet_params, inp, t2, ctx), guidance_scale)
-            return dpm_solver_step(plan, i, x, eps, x0_prev)
+            x_next, x0 = dpm_solver_step(plan, i, x, eps, x0_prev)
+            emit_callback(callback, callback_steps, i, t2, x_next)
+            return (x_next, x0)
 
         carry = (latents0, jnp.zeros_like(latents0))
         carry = jax.lax.fori_loop(0, n_guided, guided_body, carry)

@@ -33,12 +33,35 @@ def latents_to_image(vae_apply, params, latents: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
 
 
+def emit_callback(callback: Optional[Callable], callback_steps: int,
+                  i, t, x) -> None:
+    """Host progress callback inside a traced loop body — the reference's
+    ``callback(i, t, latents)`` hook (modules/pipeline.py:34-35,113). Runs
+    every ``callback_steps`` via ``jax.debug.callback`` (best-effort
+    ordering, which matches a progress hook's contract). No-op when
+    ``callback`` is None, so the plain path traces to the same program."""
+    if callback is None:
+        return
+    import numpy as np
+
+    def host_cb(i_, t_, x_):
+        callback(int(i_), int(t_), np.asarray(x_))
+
+    jax.lax.cond(
+        i % callback_steps == 0,
+        lambda: jax.debug.callback(host_cb, i, t[0], x),
+        lambda: None,
+    )
+
+
 def make_text2img_fn(
     unet_apply: Callable,
     schedule: DiffusionSchedule,
     num_steps: int,
     *,
     vae_decode: Optional[Callable] = None,
+    callback: Optional[Callable] = None,
+    callback_steps: int = 1,
 ) -> Callable:
     """Returns jit-able ``fn(unet_params, latents0, context_pair,
     guidance_scale) -> latents`` (or decoded image if ``vae_decode`` given,
@@ -59,6 +82,7 @@ def make_text2img_fn(
             eps_pair = unet_apply(unet_params, inp, t, context_pair)
             eps = cfg_combine(eps_pair, guidance_scale)
             x, x0 = dpm_solver_step(plan, i, x, eps, x0_prev)
+            emit_callback(callback, callback_steps, i, t, x)
             return (x, x0)
 
         init = (latents0, jnp.zeros_like(latents0))

@@ -63,6 +63,8 @@ class SDComponents:
     tokenizer: Any = None
     lgp: Optional[LatentEdgePredictor] = None
     lgp_vars: Any = None
+    safety_run: Any = None     # jit-able (params, images01) -> (images, flags)
+    safety_params: Any = None
 
     @classmethod
     def from_diffusers_dir(
@@ -73,10 +75,15 @@ class SDComponents:
         unet_config: UNetConfig = SD15_CONFIG,
         vae_config=SD15_VAE_CONFIG,
         text_config=SD15_TEXT_CONFIG,
+        safety_checker: bool = True,
     ) -> "SDComponents":
         """Load a diffusers-format SD1.x model directory (the reference's
         ``StableDiffusionPipeline.from_pretrained(config.model_path)``,
-        trainer.py:102). Accepts .safetensors or torch .bin weights."""
+        trainer.py:102). Accepts .safetensors or torch .bin weights.
+
+        ``safety_checker=True`` (default, reference parity: the stock
+        pipeline runs one per generation, modules/pipeline.py:121) loads
+        ``<model_path>/safety_checker`` when present; pass False to skip."""
         unet_sd = _load_state_dict(
             os.path.join(model_path, "unet", "diffusion_pytorch_model")
         )
@@ -92,7 +99,7 @@ class SDComponents:
 
             tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
 
-        return cls(
+        c = cls(
             unet=UNet2DCondition(unet_config, compute_dtype=compute_dtype),
             vae=AutoencoderKL(vae_config, compute_dtype=compute_dtype),
             text_encoder=CLIPTextEncoder(text_config, compute_dtype=compute_dtype),
@@ -102,6 +109,29 @@ class SDComponents:
             schedule=make_schedule(),
             tokenizer=tokenizer,
         )
+        if safety_checker and os.path.isdir(os.path.join(model_path, "safety_checker")):
+            c.load_safety_checker(
+                os.path.join(model_path, "safety_checker"),
+                compute_dtype=compute_dtype,
+            )
+        return c
+
+    def load_safety_checker(self, path: str, *, compute_dtype=jnp.bfloat16) -> None:
+        """Load the diffusers ``safety_checker/`` weights (dir or file) and
+        enable per-generation NSFW checking (modules/pipeline.py:121)."""
+        from sketch2img_tpu.models.safety_checker import (
+            convert_torch_safety_checker,
+            make_safety_checker,
+        )
+
+        base = (os.path.join(path, "model") if os.path.isdir(path) else path)
+        if os.path.isdir(path) and not (
+            os.path.exists(base + ".safetensors") or os.path.exists(base + ".bin")
+        ):
+            base = os.path.join(path, "pytorch_model")
+        sd = _load_state_dict(base)
+        self.safety_params = convert_torch_safety_checker(sd)
+        _, self.safety_run = make_safety_checker(compute_dtype=compute_dtype)
 
     @classmethod
     def random_init(
@@ -225,28 +255,64 @@ class SDComponents:
 
 class SketchGuidedPipeline:
     """User-facing pipeline with the reference demo's call signature
-    (app.py:84-123): prompt, negative prompt, steps, guidance, size, seed,
-    optional sketchpad image."""
+    (app.py:84-123) and the stock pipeline's batching surface
+    (modules/pipeline.py:29-35,47,64-74): prompt or prompt list,
+    ``num_images_per_prompt``, ``eta``, ``callback``/``callback_steps``."""
 
     def __init__(self, components: SDComponents):
         self.c = components
         self._fns: Dict[Tuple, Any] = {}
+        # per-__call__ user progress hook; read through a trampoline so the
+        # traced program is independent of the hook's identity (no retrace
+        # when the user passes a different function next call).
+        self._user_callback = None
+        self.last_nsfw_flags = None
+
+    def _trampoline_callback(self, i: int, t: int, latents: np.ndarray) -> None:
+        if self._user_callback is not None:
+            self._user_callback(i, t, latents)
 
     # -- text encoding (pipeline.py:55-57: CFG pair, 77-token padded) --
 
-    def encode_prompt(self, prompt: str, negative_prompt: str = "") -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def _text_fn(self):
+        if "text" not in self._fns:
+            self._fns["text"] = jax.jit(self.c.text_apply)
+        return self._fns["text"]
+
+    def encode_prompt(
+        self,
+        prompt,
+        negative_prompt="",
+        num_images_per_prompt: int = 1,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """-> (uncond, cond), each (P*num_images, 77, 768). ``prompt`` /
+        ``negative_prompt`` may be a string or list of strings; embeddings
+        are repeat_interleaved per prompt (pipeline.py:64-74)."""
         tok = self.c.tokenizer
         assert tok is not None, "tokenizer not loaded"
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        negs = (
+            [negative_prompt] * len(prompts)
+            if isinstance(negative_prompt, str)
+            else list(negative_prompt)
+        )
+        if len(negs) != len(prompts):
+            raise ValueError(
+                f"got {len(prompts)} prompts but {len(negs)} negative prompts"
+            )
 
-        def ids(text):
+        def ids(texts):
             return np.asarray(
-                tok(text, padding="max_length", truncation=True, max_length=77).input_ids,
+                tok(texts, padding="max_length", truncation=True, max_length=77).input_ids,
                 np.int32,
-            )[None]
+            )
 
-        text_fn = jax.jit(self.c.text_apply)
-        cond = text_fn(self.c.text_params, jnp.asarray(ids(prompt)))
-        uncond = text_fn(self.c.text_params, jnp.asarray(ids(negative_prompt)))
+        text_fn = self._text_fn()
+        cond = text_fn(self.c.text_params, jnp.asarray(ids(prompts)))
+        uncond = text_fn(self.c.text_params, jnp.asarray(ids(negs)))
+        if num_images_per_prompt != 1:
+            cond = jnp.repeat(cond, num_images_per_prompt, axis=0)
+            uncond = jnp.repeat(uncond, num_images_per_prompt, axis=0)
         return uncond, cond
 
     def encode_sketch(self, sketch01: np.ndarray, rng: jax.Array) -> jnp.ndarray:
@@ -261,9 +327,11 @@ class SketchGuidedPipeline:
         noise = jax.random.normal(rng, mean.shape, mean.dtype)
         return sample_latent(mean, logvar, noise)
 
-    def _get_fn(self, kind: str, steps: int):
-        key = (kind, steps)
+    def _get_fn(self, kind: str, steps: int, callback_steps: Optional[int] = None):
+        key = (kind, steps, callback_steps)
         if key not in self._fns:
+            cb = self._trampoline_callback if callback_steps is not None else None
+            cb_steps = callback_steps if callback_steps is not None else 1
             if kind == "sketch":
                 from sketch2img_tpu.models.lgp import lgp_fused_apply
 
@@ -276,43 +344,86 @@ class SketchGuidedPipeline:
                 fn = make_sketch_guided_fn(
                     self.c.unet_apply, self.c.unet_apply_taps, self.c.lgp_apply,
                     self.c.schedule, steps, lgp_apply_fused=lgp_fused,
+                    callback=cb, callback_steps=cb_steps,
                 )
             else:
-                fn = make_text2img_fn(self.c.unet_apply, self.c.schedule, steps)
+                fn = make_text2img_fn(self.c.unet_apply, self.c.schedule, steps,
+                                      callback=cb, callback_steps=cb_steps)
             self._fns[key] = jax.jit(fn)
         return self._fns[key]
 
     def __call__(
         self,
-        prompt: str,
+        prompt,
         *,
-        negative_prompt: str = "",
+        negative_prompt="",
         num_inference_steps: int = 50,
         guidance_scale: float = 7.5,
         width: int = 512,
         height: int = 512,
         seed: int = 0,
         sketch_image: Optional[np.ndarray] = None,
+        num_images_per_prompt: int = 1,
+        eta: float = 0.0,
+        callback=None,
+        callback_steps: int = 1,
     ) -> np.ndarray:
-        """-> (H, W, 3) float image in [0, 1]."""
+        """-> (H, W, 3) float image in [0, 1] for a single string prompt with
+        ``num_images_per_prompt == 1``; otherwise (B, H, W, 3) with
+        B = len(prompts) * num_images_per_prompt (pipeline.py:47,64-74).
+
+        ``eta`` is accepted for reference-API parity (pipeline.py:29) and is
+        unused: the solver is DPM-Solver++ 2M, whose step takes no eta — the
+        reference's ``prepare_extra_step_kwargs`` likewise drops eta for any
+        scheduler whose step doesn't accept it.
+
+        ``callback(i, t, latents)`` fires every ``callback_steps`` solver
+        steps with the host-fetched (B, h, w, 4) latents (pipeline.py:34-35).
+        One sketch image conditions the whole batch (the demo surface has a
+        single sketchpad, app.py:104-109).
+        """
+        del eta  # parity-only (see docstring)
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        batch = len(prompts) * num_images_per_prompt
+        single = isinstance(prompt, str) and num_images_per_prompt == 1
+
         key = jax.random.PRNGKey(seed if seed != 0 else np.random.randint(2**31 - 1))
         k_lat, k_sketch = jax.random.split(key)
         f = self.c.vae_scale_factor
         h, w = height // f, width // f
-        latents0 = jax.random.normal(k_lat, (1, h, w, 4), jnp.float32)
-        uncond, cond = self.encode_prompt(prompt, negative_prompt)
+        latents0 = jax.random.normal(k_lat, (batch, h, w, 4), jnp.float32)
+        uncond, cond = self.encode_prompt(
+            prompt, negative_prompt, num_images_per_prompt
+        )
 
-        if sketch_image is not None:
-            target = self.encode_sketch(sketch_image, k_sketch)
-            fn = self._get_fn("sketch", num_inference_steps)
-            latents = fn(self.c.unet_params, self.c.lgp_vars, latents0,
-                         uncond, cond, target, guidance_scale)
-        else:
-            fn = self._get_fn("text", num_inference_steps)
-            latents = fn(self.c.unet_params, latents0,
-                         jnp.concatenate([uncond, cond], axis=0), guidance_scale)
+        self._user_callback = callback
+        cb_key = callback_steps if callback is not None else None
+        try:
+            if sketch_image is not None:
+                target = self.encode_sketch(sketch_image, k_sketch)
+                target = jnp.broadcast_to(target, (batch,) + target.shape[1:])
+                fn = self._get_fn("sketch", num_inference_steps, cb_key)
+                latents = fn(self.c.unet_params, self.c.lgp_vars, latents0,
+                             uncond, cond, target, guidance_scale)
+            else:
+                fn = self._get_fn("text", num_inference_steps, cb_key)
+                latents = fn(self.c.unet_params, latents0,
+                             jnp.concatenate([uncond, cond], axis=0), guidance_scale)
+        finally:
+            self._user_callback = None
 
         img = latents_to_image(
             functools.partial(self.c.vae_decode), self.c.vae_params, latents
         )
-        return np.asarray(img[0], np.float32)
+        if self.c.safety_run is not None:
+            # reference parity: checker runs on every generation
+            # (modules/pipeline.py:121); flagged images are blacked out
+            if "safety" not in self._fns:
+                self._fns["safety"] = jax.jit(self.c.safety_run)
+            img, flags = self._fns["safety"](self.c.safety_params, img)
+            self.last_nsfw_flags = np.asarray(flags)
+            if self.last_nsfw_flags.any():
+                print("Potential NSFW content was detected in one or more "
+                      "images. A black image will be returned instead.")
+        img = np.asarray(img, np.float32)
+        return img[0] if single else img
