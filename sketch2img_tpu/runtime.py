@@ -116,22 +116,28 @@ class SDComponents:
             )
         return c
 
-    def load_safety_checker(self, path: str, *, compute_dtype=jnp.bfloat16) -> None:
+    def load_safety_checker(self, path: str, *, compute_dtype=jnp.bfloat16,
+                            vision_config=None) -> None:
         """Load the diffusers ``safety_checker/`` weights (dir or file) and
-        enable per-generation NSFW checking (modules/pipeline.py:121)."""
+        enable per-generation NSFW checking (modules/pipeline.py:121).
+        ``vision_config`` defaults to the shipped checker's ViT-L/14 tower."""
+        from sketch2img_tpu.models.clip_vision import VIT_L14_CONFIG
         from sketch2img_tpu.models.safety_checker import (
             convert_torch_safety_checker,
             make_safety_checker,
         )
 
+        cfg = vision_config or VIT_L14_CONFIG
         base = (os.path.join(path, "model") if os.path.isdir(path) else path)
         if os.path.isdir(path) and not (
             os.path.exists(base + ".safetensors") or os.path.exists(base + ".bin")
         ):
             base = os.path.join(path, "pytorch_model")
         sd = _load_state_dict(base)
-        self.safety_params = convert_torch_safety_checker(sd)
-        _, self.safety_run = make_safety_checker(compute_dtype=compute_dtype)
+        self.safety_params = convert_torch_safety_checker(
+            sd, num_layers=cfg.num_layers
+        )
+        _, self.safety_run = make_safety_checker(cfg, compute_dtype=compute_dtype)
 
     @classmethod
     def random_init(
