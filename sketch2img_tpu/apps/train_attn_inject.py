@@ -140,21 +140,35 @@ def main():
     ckpt_dir = config.get_path("checkpoint_dir", "checkpoints/attn_inject")
     ckpt_every = int(config.get_path("checkpoint_every", 500))
 
-    for epoch in range(config.train_epochs):
-        loss_total, seen = 0.0, 0
-        for batch in loader:
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = jstep(state, frozen, shard_batch(mesh, batch), step_rng)
-            global_step += 1
-            progress.update(1)
-            loss = float(metrics["loss"])
-            loss_total += loss
-            seen += 1
-            progress.set_postfix(loss=loss_total / seen)
-            if global_step % ckpt_every == 0 and jax.process_index() == 0:
-                save_train_state(ckpt_dir, global_step, jax.device_get(state))
-            if global_step >= max_train_steps:
-                break
+    from sketch2img_tpu.train.signals import GracefulShutdown
+
+    with GracefulShutdown() as stop:
+        for epoch in range(config.train_epochs):
+            loss_total, seen = 0.0, 0
+            for batch in loader:
+                rng, step_rng = jax.random.split(rng)
+                state, metrics = jstep(state, frozen, shard_batch(mesh, batch),
+                                       step_rng)
+                global_step += 1
+                progress.update(1)
+                loss = float(metrics["loss"])
+                loss_total += loss
+                seen += 1
+                progress.set_postfix(loss=loss_total / seen)
+                if global_step % ckpt_every == 0 and jax.process_index() == 0:
+                    save_train_state(ckpt_dir, global_step, jax.device_get(state))
+                if stop.requested:
+                    # checkpoint-on-signal (SURVEY §5)
+                    if jax.process_index() == 0:
+                        print(f"\nsignal {stop.signum}: saving state at step "
+                              f"{global_step} to {ckpt_dir}")
+                        save_train_state(ckpt_dir, global_step,
+                                         jax.device_get(state))
+                    return
+                if global_step >= max_train_steps:
+                    break
+            if stop.requested:
+                return
 
     # both state dicts, clip_guided_trainer.py:263-264
     if jax.process_index() == 0:

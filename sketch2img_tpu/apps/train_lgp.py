@@ -158,6 +158,11 @@ def main():
     ckpt_dir = config.get_path("checkpoint_dir", "checkpoints/lgp")
     ckpt_every = int(config.get_path("checkpoint_every", 500))
 
+    from sketch2img_tpu.train.signals import GracefulShutdown
+
+    stop = GracefulShutdown()
+    stop.__enter__()
+
     for epoch in range(config.train_epochs):
         progress.set_description_str(f"Epoch {epoch + 1}/{config.train_epochs}")
         loss_total, seen = 0.0, 0
@@ -184,6 +189,15 @@ def main():
                 save_train_state(ckpt_dir, global_step, jax.device_get(state))
             if sampler.should_sample(step=global_step) and jax.process_index() == 0:
                 sampler(c.unet_params, c.vae_params, f"step{global_step}")
+            if stop.requested:
+                # checkpoint-on-signal (SURVEY §5): flush state and exit
+                if jax.process_index() == 0:
+                    print(f"\nsignal {stop.signum}: saving state at step "
+                          f"{global_step} to {ckpt_dir}")
+                    save_train_state(ckpt_dir, global_step, jax.device_get(state))
+                progress.close()
+                stop.__exit__()
+                return
             if global_step >= max_train_steps:
                 break
 
@@ -205,6 +219,7 @@ def main():
                           token=config.get_path("monitor.huggingface_token"),
                           commit_message=f"add/update model: epoch {epoch}")
 
+    stop.__exit__()
     if jax.process_index() == 0:
         save_train_state(ckpt_dir, global_step, jax.device_get(state))
     print("done")
