@@ -10,8 +10,6 @@ from sketch2img_tpu.core.schedulers import (
     plan_ddim,
     ddim_step,
 )
-from sketch2img_tpu.core.dtypes import Policy
-
 __all__ = [
     "DiffusionSchedule",
     "DPMSolverPlan",
@@ -23,5 +21,4 @@ __all__ = [
     "dpm_solver_step",
     "plan_ddim",
     "ddim_step",
-    "Policy",
 ]
