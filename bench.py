@@ -43,12 +43,32 @@ def _emit(metric, value, unit, vs):
                       "unit": unit, "vs_baseline": round(vs, 3)}))
 
 
-def _zeros_init(module, *a, **kw):
+def _random_init(module, *a, seed=0, scale=0.02, **kw):
+    """Random (not zero) weights at full architecture — host-side numpy RNG
+    (fast for the 860M-param UNet), normal(0, scale) per leaf."""
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
     shapes = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *a, **kw))
-    return jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    rng = np.random.RandomState(seed)
+
+    def leaf(s):
+        return jnp.asarray(
+            rng.normal(0.0, scale, s.shape).astype(np.float32), s.dtype
+        )
+
+    return jax.tree_util.tree_map(leaf, shapes)
+
+
+def _canary(out):
+    """Output sanity: finite and non-degenerate (not a constant map)."""
+    import numpy as np
+
+    arr = np.asarray(out, np.float32)
+    assert np.isfinite(arr).all(), "bench output contains non-finite values"
+    assert arr.std() > 0, "bench output is constant — degenerate program"
 
 
 def _timed(fn, args, iters=3):
@@ -69,7 +89,7 @@ def _timed(fn, args, iters=3):
         float(noop(tiny))
     baseline = (time.perf_counter() - t0) / 5
 
-    once()  # compile
+    _canary(fn(*args))  # compile + output sanity
     t0 = time.perf_counter()
     for _ in range(iters):
         once()
@@ -84,7 +104,7 @@ def bench_anime2sketch():
 
     gan = create_anime2sketch(compute_dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 512, 512, 3), jnp.float32)
-    params = _zeros_init(gan, x)["params"]
+    params = _random_init(gan, x)["params"]
     reps = 20
 
     # chain reps GAN calls inside one jit (output fed back as input) so the
@@ -110,8 +130,10 @@ def bench_lgp():
     lgp = LatentEdgePredictor(compute_dtype=jnp.bfloat16)
     feats = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 9280), jnp.float32)
     nl = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 4), jnp.float32)
-    variables = _zeros_init(lgp, feats, nl)
-    variables = jax.tree_util.tree_map(lambda x: x + 0.5, variables)
+    variables = _random_init(lgp, feats, nl)
+    # BN running vars must be positive (eval-mode rsqrt)
+    variables["batch_stats"] = jax.tree_util.tree_map(
+        lambda x: jnp.abs(x) + 0.5, variables["batch_stats"])
     reps = 20
 
     @jax.jit
@@ -127,25 +149,32 @@ def bench_lgp():
     _emit("lgp_cached_activations_latency", dt, "seconds", BASELINES[2] / max(dt, 1e-9))
 
 
-def _sd_stack():
+def _sd_stack(remat=False):
     import jax.numpy as jnp
 
     from sketch2img_tpu.models.lgp import LatentEdgePredictor
     from sketch2img_tpu.models.unet import SD15_CONFIG, UNet2DCondition
 
-    unet = UNet2DCondition(SD15_CONFIG, compute_dtype=jnp.bfloat16)
+    cfg = SD15_CONFIG
+    if remat:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, remat=True)
+    unet = UNet2DCondition(cfg, compute_dtype=jnp.bfloat16)
     lgp = LatentEdgePredictor(compute_dtype=jnp.bfloat16)
     b, h, w = 1, 64, 64
-    unet_vars = _zeros_init(unet, jnp.zeros((b, h, w, 4)),
-                            jnp.zeros((b,), jnp.int32), jnp.zeros((b, 77, 768)))
-    lgp_vars = _zeros_init(lgp, jnp.zeros((b, h, w, 9280)), jnp.zeros((b, h, w, 4)))
+    unet_vars = _random_init(unet, jnp.zeros((b, h, w, 4)),
+                             jnp.zeros((b,), jnp.int32), jnp.zeros((b, 77, 768)))
+    lgp_vars = _random_init(lgp, jnp.zeros((b, h, w, 9280)), jnp.zeros((b, h, w, 4)))
     import jax
 
-    lgp_vars = jax.tree_util.tree_map(lambda x: x + 0.5, lgp_vars)
+    # BN running vars must be positive (eval-mode rsqrt)
+    lgp_vars["batch_stats"] = jax.tree_util.tree_map(
+        lambda x: jnp.abs(x) + 0.5, lgp_vars["batch_stats"])
     return unet, lgp, unet_vars["params"], lgp_vars
 
 
-def bench_text2img():
+def bench_text2img(batch=1, size=512, steps=50):
     import jax
     import jax.numpy as jnp
 
@@ -155,16 +184,19 @@ def bench_text2img():
     unet, _, up, _ = _sd_stack()
     fn = jax.jit(make_text2img_fn(
         lambda p, x, t, c: unet.apply({"params": p}, x, t, c),
-        make_schedule(), 50,
+        make_schedule(), steps,
     ))
-    lat0 = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 4), jnp.float32)
-    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 768), jnp.float32) * 0.1
+    hw = size // 8
+    lat0 = jax.random.normal(jax.random.PRNGKey(0), (batch, hw, hw, 4), jnp.float32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2 * batch, 77, 768),
+                            jnp.float32) * 0.1
     dt = _timed(fn, (up, lat0, ctx, 7.5))
-    _emit("text2img_512px_50step_images_per_sec_per_chip", 1 / dt,
-          "images/sec/chip", (1 / dt) / BASELINES[3])
+    _emit(f"text2img_{size}px_{steps}step"
+          f"{'' if batch == 1 else f'_bs{batch}'}_images_per_sec_per_chip",
+          batch / dt, "images/sec/chip", (batch / dt) / BASELINES[3])
 
 
-def bench_sketch_guided():
+def bench_sketch_guided(batch=1, size=512, steps=50, remat=False):
     import jax
     import jax.numpy as jnp
 
@@ -172,24 +204,28 @@ def bench_sketch_guided():
     from sketch2img_tpu.models.lgp import lgp_fused_apply
     from sketch2img_tpu.pipelines.sketch_guided import make_sketch_guided_fn
 
-    unet, lgp, up, lv = _sd_stack()
+    unet, lgp, up, lv = _sd_stack(remat=remat)
 
     fn = jax.jit(make_sketch_guided_fn(
         lambda p, x, t, c: unet.apply({"params": p}, x, t, c),
         lambda p, x, t, c: unet.apply({"params": p}, x, t, c, capture_taps=True),
         lambda v, f, n: lgp.apply(v, f, n, train=False),
-        make_schedule(), 50,
+        make_schedule(), steps,
         lgp_apply_fused=lambda v, taps, nl, hh, ww: lgp_fused_apply(
             v, taps, nl, hh, ww, compute_dtype=jnp.bfloat16),
     ))
     key = jax.random.PRNGKey(0)
-    lat0 = jax.random.normal(key, (1, 64, 64, 4), jnp.float32)
-    ctx_u = jax.random.normal(key, (1, 77, 768), jnp.float32) * 0.1
-    ctx_c = jax.random.normal(jax.random.PRNGKey(1), (1, 77, 768), jnp.float32) * 0.1
-    sketch = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64, 4), jnp.float32)
+    hw = size // 8
+    lat0 = jax.random.normal(key, (batch, hw, hw, 4), jnp.float32)
+    ctx_u = jax.random.normal(key, (batch, 77, 768), jnp.float32) * 0.1
+    ctx_c = jax.random.normal(jax.random.PRNGKey(1), (batch, 77, 768),
+                              jnp.float32) * 0.1
+    sketch = jax.random.normal(jax.random.PRNGKey(2), (batch, hw, hw, 4),
+                               jnp.float32)
     dt = _timed(fn, (up, lv, lat0, ctx_u, ctx_c, sketch, 7.5))
-    _emit("sketch_guided_512px_50step_images_per_sec_per_chip", 1 / dt,
-          "images/sec/chip", (1 / dt) / BASELINES[4])
+    _emit(f"sketch_guided_{size}px_{steps}step"
+          f"{'' if batch == 1 else f'_bs{batch}'}_images_per_sec_per_chip",
+          batch / dt, "images/sec/chip", (batch / dt) / BASELINES[4])
 
 
 def bench_attn_injected_batch8():
@@ -211,7 +247,7 @@ def bench_attn_injected_batch8():
     n = num_transformer_blocks(cfg)
     b = 8
     states_init = [jnp.zeros((2, 257, 1024))] * n
-    up = _zeros_init(unet, jnp.zeros((2, 64, 64, 4)), jnp.zeros((2,), jnp.int32),
+    up = _random_init(unet, jnp.zeros((2, 64, 64, 4)), jnp.zeros((2,), jnp.int32),
                      jnp.zeros((2, 77, 768)), injection_states=states_init)["params"]
 
     fn = jax.jit(make_attn_injected_fn(
@@ -244,15 +280,34 @@ def _enable_compile_cache():
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5])
+    parser.add_argument("--batch", type=int, default=None,
+                        help="configs 3/4: images per call (default 1)")
+    parser.add_argument("--size", type=int, default=None,
+                        help="configs 3/4: image size in px (default 512)")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="configs 3/4: solver steps (default 50)")
+    parser.add_argument("--remat", action="store_true",
+                        help="config 4: rematerialized UNet backward "
+                             "(large batch / high resolution)")
     args = parser.parse_args()
     _enable_compile_cache()
+    kw = {}
+    if args.config in (3, 4):
+        if args.batch:
+            kw["batch"] = args.batch
+        if args.size:
+            kw["size"] = args.size
+        if args.steps:
+            kw["steps"] = args.steps
+        if args.config == 4 and args.remat:
+            kw["remat"] = True
     {
         1: bench_anime2sketch,
         2: bench_lgp,
         3: bench_text2img,
         4: bench_sketch_guided,
         5: bench_attn_injected_batch8,
-    }[args.config]()
+    }[args.config](**kw)
 
 
 if __name__ == "__main__":

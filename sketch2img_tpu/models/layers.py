@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from sketch2img_tpu.ops.attention import multi_head_attention
+from sketch2img_tpu.ops.conv2d import Conv3x3
 
 
 def timestep_embedding(
@@ -72,9 +73,8 @@ class ResnetBlock(nn.Module):
         in_ch = x.shape[-1]
         h = GroupNorm(32, self.epsilon, name="norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-            dtype=self.compute_dtype, name="conv1",
+        h = Conv3x3(
+            self.out_channels, compute_dtype=self.compute_dtype, name="conv1"
         )(h)
         if self.use_temb:
             assert temb is not None
@@ -84,9 +84,8 @@ class ResnetBlock(nn.Module):
             h = h + t[:, None, None, :]
         h = GroupNorm(32, self.epsilon, name="norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(
-            self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-            dtype=self.compute_dtype, name="conv2",
+        h = Conv3x3(
+            self.out_channels, compute_dtype=self.compute_dtype, name="conv2"
         )(h)
         if in_ch != self.out_channels:
             x = nn.Conv(
@@ -106,9 +105,9 @@ class Downsample(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = ((0, 1), (0, 1)) if self.asymmetric else ((1, 1), (1, 1))
-        return nn.Conv(
-            self.out_channels, (3, 3), strides=(2, 2), padding=pad,
-            dtype=self.compute_dtype, name="conv",
+        return Conv3x3(
+            self.out_channels, stride=2, padding=pad,
+            compute_dtype=self.compute_dtype, name="conv",
         )(x)
 
 
@@ -122,9 +121,8 @@ class Upsample(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return nn.Conv(
-            self.out_channels, (3, 3), padding=((1, 1), (1, 1)),
-            dtype=self.compute_dtype, name="conv",
+        return Conv3x3(
+            self.out_channels, compute_dtype=self.compute_dtype, name="conv"
         )(x)
 
 
