@@ -29,9 +29,16 @@ def get_parser() -> argparse.ArgumentParser:
 
 
 def evaluate(components, prompt: str, negative_prompt: str, image01: np.ndarray,
-             timestep: int, seed: int = 0) -> np.ndarray:
+             timestep: int, seed: int = 0, noise: np.ndarray = None,
+             deterministic_latent: bool = False) -> np.ndarray:
     """Core fixture (evaluation.py:52-106). image01: (H,W,3) float in [0,1].
-    Returns the binarized uint8 edge image (H,W,3)."""
+    Returns the binarized uint8 edge image (H,W,3).
+
+    ``noise`` (optional, (1,h,w,4)) injects the diffusion noise explicitly
+    and ``deterministic_latent=True`` uses the VAE posterior mean instead of
+    sampling — together they make the fixture RNG-free so the same inputs
+    can be replayed through the reference torch code for pixel-level parity
+    (tools/edge_parity.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -49,8 +56,16 @@ def evaluate(components, prompt: str, negative_prompt: str, image01: np.ndarray,
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
     mean, logvar = c.vae_encode_moments(c.vae_params, px)
-    latents = sample_latent(mean, logvar, jax.random.normal(k1, mean.shape, mean.dtype))
-    noise = jax.random.normal(k2, latents.shape, latents.dtype)
+    if deterministic_latent:
+        latents = mean
+    else:
+        latents = sample_latent(
+            mean, logvar, jax.random.normal(k1, mean.shape, mean.dtype)
+        )
+    if noise is not None:
+        noise = jnp.asarray(noise, latents.dtype)
+    else:
+        noise = jax.random.normal(k2, latents.shape, latents.dtype)
 
     t = jnp.full((1,), timestep, jnp.int32)
     noisy = add_noise(c.schedule, latents, noise, t)

@@ -94,16 +94,22 @@ def _conv_shift9(x, w, stride, padding):
     return acc.astype(x.dtype)
 
 
-def _pick_backend(h, w, cin, cout, stride) -> str:
-    """Measured dispatch (tools/bench_conv.py on v5e, bs2 512px shapes)."""
+def _pick_backend(b, h, w, cin, cout, stride) -> str:
+    """Measured dispatch (tools/bench_conv.py on v5e at bs 1/2/4/8/16 over
+    every SD1.5 conv shape). XLA conv approaches the FLOP bound once the
+    batch is large (>= 8 it reaches ~100% MFU on the wide shapes and every
+    alternate loses); below that the winner tracks the GEMM row count
+    rows = B*H*W: few rows -> one big im2col matmul, mid-range -> nine
+    shifted matmuls (no 9x patch materialization), many rows -> XLA conv."""
     if stride != 1 or min(cin, cout) < 64:
         return "xla"
-    hw = h * w
-    if hw <= 16 * 16:
+    if b >= 8:
+        return "xla"
+    rows = b * h * w
+    if rows <= 512:
         return "im2col"
-    if hw <= 64 * 64:
+    if rows <= 8192:
         return "shift9"
-    # beyond the measured range (VAE-resolution convs): XLA
     return "xla"
 
 
@@ -119,8 +125,8 @@ def conv3x3(
     """NHWC 3x3 conv; ``w`` is HWIO (3, 3, Cin, Cout) like nn.Conv."""
     be = backend or _DEFAULT_BACKEND
     if be == "auto":
-        be = _pick_backend(x.shape[1], x.shape[2], x.shape[3], w.shape[-1],
-                           stride)
+        be = _pick_backend(x.shape[0], x.shape[1], x.shape[2], x.shape[3],
+                           w.shape[-1], stride)
     y = {"xla": _conv_xla, "im2col": _conv_im2col, "shift9": _conv_shift9}[be](
         x, w, stride, padding
     )

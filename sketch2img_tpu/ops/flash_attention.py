@@ -71,7 +71,30 @@ def supported(q, k, v, mask) -> bool:
     return nq >= 128 and nk >= 128
 
 
-def _block_sizes(nq: int, nk: int):
+# measured per-kernel block dispatch (tools/bench_flash.py on v5e; entries
+# are (kind, N-bucket) -> (block_q, block_k); N-bucket = smallest table key
+# >= max(nq, nk)). Kinds: "fwd" and "bwd" (both backward kernels).
+# Filled from the v5e sweep; absent buckets fall back to the 1024 defaults.
+_BLOCK_TABLE: dict = {}
+
+_FORCED_BLOCKS = None  # sweep hook: (block_q, block_k) or None
+
+
+def force_block_sizes(blocks) -> None:
+    """Override block sizes for every kernel — tools/bench_flash.py sweeps."""
+    global _FORCED_BLOCKS
+    _FORCED_BLOCKS = blocks
+
+
+def _block_sizes(nq: int, nk: int, kind: str = "fwd"):
+    if _FORCED_BLOCKS is not None:
+        bq, bk = _FORCED_BLOCKS
+        return min(bq, _pad_to(nq, 128)), min(bk, _pad_to(nk, 128))
+    n = max(nq, nk)
+    for bucket in sorted(k[1] for k in _BLOCK_TABLE if k[0] == kind):
+        if n <= bucket:
+            bq, bk = _BLOCK_TABLE[(kind, bucket)]
+            return min(bq, _pad_to(nq, 128)), min(bk, _pad_to(nk, 128))
     block_q = min(_DEFAULT_BLOCK_Q, _pad_to(nq, 128))
     block_k = min(_DEFAULT_BLOCK_K, _pad_to(nk, 128))
     return block_q, block_k
@@ -266,7 +289,7 @@ def _flash_backward(q, k, v, o, lse, do, scale):
     dtype = q.dtype
 
     dp_ = d  # native head dim (see _flash_forward)
-    block_q, block_k = _block_sizes(nq, nk)
+    block_q, block_k = _block_sizes(nq, nk, "bwd")
     nq_p = _pad_to(nq, block_q)
     nk_p = _pad_to(nk, block_k)
 

@@ -18,21 +18,7 @@ from sketch2img_tpu.models.vae import VAEConfig  # noqa: E402
 from sketch2img_tpu.runtime import SDComponents, SketchGuidedPipeline  # noqa: E402
 
 from torch_sd_mirror import TorchMiniUNet, TorchMiniVAE  # noqa: E402
-
-
-class FakeTokenizerOutput:
-    def __init__(self, ids):
-        self.input_ids = ids
-
-
-class FakeTokenizer:
-    pad_token_id = 9
-
-    def __call__(self, prompt, padding=None, truncation=None, max_length=77):
-        ids = [ord(c) % 90 for c in prompt][:max_length]
-        if padding == "max_length":
-            ids += [self.pad_token_id] * (max_length - len(ids))
-        return FakeTokenizerOutput(ids)
+from fakes import FakeTokenizer  # noqa: E402
 
 
 UNET_CFG = UNetConfig(block_out_channels=(32, 64), cross_attn=(True, False),

@@ -57,13 +57,18 @@ def test_backend_gradients_match_xla(backend):
 
 
 def test_dispatch_table():
-    assert _pick_backend(8, 8, 1280, 1280, 1) == "im2col"
-    assert _pick_backend(16, 16, 2560, 1280, 1) == "im2col"
-    assert _pick_backend(32, 32, 640, 640, 1) == "shift9"
-    assert _pick_backend(64, 64, 320, 320, 1) == "shift9"
-    assert _pick_backend(64, 64, 320, 320, 2) == "xla"     # strided
-    assert _pick_backend(64, 64, 4, 320, 1) == "xla"       # tiny channels
-    assert _pick_backend(512, 512, 128, 128, 1) == "xla"   # VAE resolution
+    assert _pick_backend(1, 8, 8, 1280, 1280, 1) == "im2col"     # 64 rows
+    assert _pick_backend(2, 16, 16, 2560, 1280, 1) == "im2col"   # 512 rows
+    assert _pick_backend(4, 16, 16, 1280, 1280, 1) == "shift9"   # 1024 rows
+    assert _pick_backend(2, 32, 32, 640, 640, 1) == "shift9"
+    assert _pick_backend(1, 64, 64, 320, 320, 1) == "shift9"
+    assert _pick_backend(4, 64, 64, 320, 320, 1) == "xla"        # 16384 rows
+    assert _pick_backend(1, 64, 64, 320, 320, 2) == "xla"    # strided
+    assert _pick_backend(1, 64, 64, 4, 320, 1) == "xla"      # tiny channels
+    assert _pick_backend(1, 512, 512, 128, 128, 1) == "xla"  # VAE resolution
+    # large batch: XLA conv reaches ~100% MFU, alternates lose
+    assert _pick_backend(16, 16, 16, 1280, 1280, 1) == "xla"
+    assert _pick_backend(8, 8, 8, 1280, 1280, 1) == "xla"
 
 
 def test_module_param_layout_matches_nn_conv():

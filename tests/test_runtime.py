@@ -23,27 +23,7 @@ from sketch2img_tpu.train.checkpoint import (
 )
 
 
-class FakeTokenizerOutput:
-    def __init__(self, ids):
-        self.input_ids = ids
-
-
-class FakeTokenizer:
-    """Single-string call -> flat id list; list call -> list of lists
-    (the HF tokenizer's batching contract)."""
-
-    pad_token_id = 9
-
-    def __call__(self, prompt, padding=None, truncation=None, max_length=77):
-        def encode(text):
-            ids = [ord(c) % 90 for c in text][:max_length]
-            if padding == "max_length":
-                ids = ids + [self.pad_token_id] * (max_length - len(ids))
-            return ids
-
-        if isinstance(prompt, str):
-            return FakeTokenizerOutput(encode(prompt))
-        return FakeTokenizerOutput([encode(t) for t in prompt])
+from fakes import FakeTokenizer  # noqa: E402
 
 
 TAP_CH = 480
