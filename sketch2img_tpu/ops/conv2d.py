@@ -27,6 +27,14 @@ import flax.linen as nn
 
 _DEFAULT_BACKEND = "auto"
 
+# Backward-pass note (measured, do not redo): routing the vjp through this
+# same dispatch via custom_vjp (dx as a 3x3 conv of the cotangent with the
+# flipped/transposed kernel, dw via XLA conv-backprop-filter) was built and
+# A/B-measured on v5e — headline guided sampling got SLOWER (0.715 vs 0.741
+# img/s). Autodiff of the shift9/im2col lowerings already yields the same
+# shifted-dot structure and XLA fuses its pad-accumulate chains better than
+# a re-dispatched conv. Plain autodiff is the shipped backward.
+
 
 def set_default_conv_backend(backend: str) -> None:
     """"auto" (measured dispatch), "xla", "im2col", or "shift9"."""
