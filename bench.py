@@ -63,23 +63,37 @@ def _random_init(module, *a, seed=0, scale=0.02, **kw):
 
 
 def _canary(out):
-    """Output sanity: finite and non-degenerate (not a constant map)."""
-    import numpy as np
+    """Output sanity: finite and non-degenerate (not a constant map).
 
-    arr = np.asarray(out, np.float32)
-    assert np.isfinite(arr).all(), "bench output contains non-finite values"
-    assert arr.std() > 0, "bench output is constant — degenerate program"
+    Stats are computed ON DEVICE and only scalars cross the tunnel: fetching
+    the full array (config 2's is 152 MB) congests the axon tunnel for
+    ~100+ ms and inflates the timed fetches that follow (measured: config 2
+    read 7.6 ms/call with a full-array canary vs 0.6 ms without)."""
+    import jax.numpy as jnp
+
+    arr = out.astype(jnp.float32)
+    assert bool(jnp.isfinite(arr).all()), "bench output contains non-finite values"
+    assert float(jnp.std(arr)) > 0, "bench output is constant — degenerate program"
 
 
 def _timed(fn, args, iters=3):
     """Mean seconds/call. Each call syncs via a dependent host fetch; the
     fetch round-trip (~30 ms through the axon tunnel) is measured with a
-    no-op and subtracted so sub-fetch-latency kernels report honestly."""
+    no-op and subtracted so sub-fetch-latency kernels report honestly.
+
+    Order matters: the canary runs FIRST and is followed by one untimed
+    call — the canary's device work congests the tunnel and the next fetch
+    absorbs the drain (measured: 437 ms for the first call after a canary
+    vs 46 ms steady-state on config 2). Baseline and the timed loop only
+    start once the queue is clear."""
     import jax
     import jax.numpy as jnp
 
     def once():
         return float(jnp.sum(fn(*args)))
+
+    _canary(fn(*args))  # compile + output sanity
+    once()  # absorb the canary's tunnel backlog before any timing
 
     noop = jax.jit(jnp.sum)
     tiny = jnp.ones((8, 8))
@@ -89,7 +103,6 @@ def _timed(fn, args, iters=3):
         float(noop(tiny))
     baseline = (time.perf_counter() - t0) / 5
 
-    _canary(fn(*args))  # compile + output sanity
     t0 = time.perf_counter()
     for _ in range(iters):
         once()

@@ -31,6 +31,38 @@ import flax.linen as nn
 _kaiming_uniform = nn.initializers.variance_scaling(2.0, "fan_in", "uniform")
 
 
+class _SplitDense(nn.Module):
+    """Dense over a channel-concatenation, WITHOUT building the concat.
+
+    ``concat(parts, -1) @ W == sum_i parts_i @ W[rows_i]`` — exact math, but
+    the (B, H, W, 9320) fp32 concat the reference materializes every step
+    (pipeline.py:151) never hits HBM (~300 MB of traffic saved at 512^2).
+    Param tree matches nn.Dense (kernel (total_in, features), bias) so
+    ``convert_torch_lgp`` and existing checkpoints are untouched.
+    """
+
+    features: int
+    total_in: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", _kaiming_uniform, (self.total_in, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(self.compute_dtype)
+        acc = None
+        offset = 0
+        for p in parts:
+            c = p.shape[-1]
+            y = p.astype(self.compute_dtype) @ kernel[offset : offset + c]
+            acc = y if acc is None else acc + y
+            offset += c
+        assert offset == self.total_in, (offset, self.total_in)
+        return acc + bias.astype(self.compute_dtype)
+
+
 class LatentEdgePredictor(nn.Module):
     """Per-pixel edge-latent MLP with BatchNorm (train/eval running stats)."""
 
@@ -50,11 +82,22 @@ class LatentEdgePredictor(nn.Module):
         concat (x, t, pos) on channels, cast to compute dtype, MLP.
         """
         pos = [jnp.sin(2.0 * math.pi * t * (2.0 ** -l)) for l in range(self.num_layers)]
-        h = jnp.concatenate([x, t] + pos, axis=-1)
-        h = h.astype(self.compute_dtype)
 
         widths = (512, 256, 128, 64)
-        for i, w in enumerate(widths):
+        # first layer: split-matmul over the concat pieces (no 9320-ch concat)
+        h = _SplitDense(
+            widths[0], self.input_dim, compute_dtype=self.compute_dtype,
+            name="dense_0",
+        )([x, t] + pos)
+        h = nn.relu(h)
+        h = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.compute_dtype,
+            name="bn_0",
+        )(h)
+        for i, w in enumerate(widths[1:], start=1):
             h = nn.Dense(
                 w,
                 kernel_init=_kaiming_uniform,

@@ -71,11 +71,26 @@ def supported(q, k, v, mask) -> bool:
     return nq >= 128 and nk >= 128
 
 
-# measured per-kernel block dispatch (tools/bench_flash.py on v5e; entries
-# are (kind, N-bucket) -> (block_q, block_k); N-bucket = smallest table key
-# >= max(nq, nk)). Kinds: "fwd" and "bwd" (both backward kernels).
-# Filled from the v5e sweep; absent buckets fall back to the 1024 defaults.
-_BLOCK_TABLE: dict = {}
+# measured per-kernel block dispatch (tools/bench_flash.py on v5e, transposed
+# kernels, reps=40): (kind, N-bucket, BH-bucket) -> (block_q, block_k).
+# N-bucket = smallest table key >= max(nq, nk); BH-bucket: 8 for batch*heads
+# <= 8 (bs1 guided path), 16 otherwise (CFG-doubled / batched serving).
+# Kinds: "fwd" and "bwd" (both backward kernels share blocks). Absent
+# buckets fall back to the 1024x1024 defaults (capped to the sequence).
+_BLOCK_TABLE: dict = {
+    ("fwd", 4096, 8): (1024, 2048),    # 321us @ (8, 4096, 40)
+    ("fwd", 4096, 16): (2048, 1024),   # 831us @ (16, 4096, 40); best-2 tie
+    ("fwd", 9216, 8): (512, 1024),     # 2.02ms @ (8, 9216, 40) — 768px
+    ("fwd", 9216, 16): (512, 1024),
+    ("fwd", 16384, 8): (2048, 512),    # 6.72ms @ (8, 16384, 40) — 1024px
+    ("fwd", 16384, 16): (2048, 512),
+    ("bwd", 4096, 8): (1024, 1024),    # 765us @ (8, 4096, 40)
+    ("bwd", 4096, 16): (2048, 512),    # 1.77ms @ (16, 4096, 40)
+    ("bwd", 9216, 8): (1024, 1024),    # 4.65ms
+    ("bwd", 9216, 16): (1024, 1024),
+    ("bwd", 16384, 8): (2048, 1024),   # 13.8ms
+    ("bwd", 16384, 16): (2048, 1024),
+}
 
 _FORCED_BLOCKS = None  # sweep hook: (block_q, block_k) or None
 
@@ -86,14 +101,15 @@ def force_block_sizes(blocks) -> None:
     _FORCED_BLOCKS = blocks
 
 
-def _block_sizes(nq: int, nk: int, kind: str = "fwd"):
+def _block_sizes(nq: int, nk: int, kind: str = "fwd", bh: int = 8):
     if _FORCED_BLOCKS is not None:
         bq, bk = _FORCED_BLOCKS
         return min(bq, _pad_to(nq, 128)), min(bk, _pad_to(nk, 128))
     n = max(nq, nk)
-    for bucket in sorted(k[1] for k in _BLOCK_TABLE if k[0] == kind):
+    bh_bucket = 8 if bh <= 8 else 16
+    for bucket in sorted({k[1] for k in _BLOCK_TABLE if k[0] == kind}):
         if n <= bucket:
-            bq, bk = _BLOCK_TABLE[(kind, bucket)]
+            bq, bk = _BLOCK_TABLE[(kind, bucket, bh_bucket)]
             return min(bq, _pad_to(nq, 128)), min(bk, _pad_to(nk, 128))
     block_q = min(_DEFAULT_BLOCK_Q, _pad_to(nq, 128))
     block_k = min(_DEFAULT_BLOCK_K, _pad_to(nk, 128))
@@ -157,7 +173,7 @@ def _flash_forward(q, k, v, scale):
     # is legal, Mosaic pads in VMEM — no HBM pad/slice copies (measured ~9%
     # faster than padding d->128 at (1,8,4096,40))
     dp = d
-    block_q, block_k = _block_sizes(nq, nk)
+    block_q, block_k = _block_sizes(nq, nk, "fwd", b * h)
     nq_p = _pad_to(nq, block_q)
     nk_p = _pad_to(nk, block_k)
 
@@ -192,6 +208,276 @@ def _flash_forward(q, k, v, scale):
     )(qr, kr, vr)
 
     return out[:, :nq, :].reshape(b, h, nq, d), lse
+
+
+# ---------------------------------------------------------------------------
+# transposed variants for small head dims (d < 128)
+#
+# The MXU is a 128x128 systolic array: a dot whose contracting (K) or output
+# (N) dimension is the 40/80-wide head dim runs at d/128 utilization. The
+# q@k^T logits dot contracts over d and is stuck with that. Every OTHER dot
+# can dodge it by keeping d on the streamed M dimension:
+#
+#   forward:   acc^T (d, BQ) += v^T @ p^T  = dot(v, p_t)   K=BK, N=BQ  (full)
+#   dq:        dq^T  (d, BQ) += k^T @ ds^T = dot(k, ds_t)  K=BK, N=BQ  (full)
+#   dk:        dk^T  (d, BK) += q^T @ ds   = dot(q, ds_t)  K=BQ, N=BK  (full)
+#   dv:        dv^T  (d, BK) += do^T @ p   = dot(do, p_t)  K=BQ, N=BK  (full)
+#
+# Working in s^T = k@q^T layout (BK sublanes, BQ lanes) also turns the
+# softmax max/sum from lane reductions into sublane reductions, and the
+# running statistics broadcast along sublanes for free. Outputs come back
+# d-major, (BH, d, N); one cheap XLA transpose restores (B, H, N, d).
+# LSE layout for this path is sublane-broadcast: (BH, 8, nq_p).
+# ---------------------------------------------------------------------------
+
+
+def _use_transposed(d: int) -> bool:
+    return d < 128
+
+
+def _fwd_kernel_t(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                  *, scale: float, kv_len: int, block_k: int):
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (BQ, d)
+    k = k_ref[0]  # (BK, d)
+    v = v_ref[0]  # (BK, d)
+
+    # s^T = k @ q^T: (BK, BQ)
+    s_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
+    s_t = jnp.where(kv_ids < kv_len, s_t, _NEG_INF)
+
+    m_prev = m_scr[:1, :]                                     # (1, BQ)
+    m_new = jnp.maximum(m_prev, jnp.max(s_t, axis=0, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p_t = jnp.exp(s_t - m_new)                                # (BK, BQ)
+
+    l_scr[:1, :] = alpha * l_scr[:1, :] + jnp.sum(p_t, axis=0, keepdims=True)
+    # acc^T (d, BQ) += v^T @ p^T — contract BK with BK
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        v, p_t.astype(v.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:1, :] = m_new
+
+    @pl.when(kb == nkb - 1)
+    def _finalize():
+        l = l_scr[:1, :]
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)       # (d, BQ)
+        lse_ref[0] = jnp.broadcast_to(m_scr[:1, :] + jnp.log(l),
+                                      lse_ref.shape[1:])      # (8, BQ)
+
+
+def _flash_forward_t(q, k, v, scale):
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    dtype = q.dtype
+
+    block_q, block_k = _block_sizes(nq, nk, "fwd", b * h)
+    nq_p = _pad_to(nq, block_q)
+    nk_p = _pad_to(nk, block_k)
+
+    qr = jnp.pad(q.reshape(b * h, nq, d), ((0, 0), (0, nq_p - nq), (0, 0)))
+    kr = jnp.pad(k.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, 0)))
+    vr = jnp.pad(v.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, 0)))
+
+    grid = (b * h, nq_p // block_q, nk_p // block_k)
+
+    out_t, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_t, scale=scale, kv_len=nk, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, block_q), lambda i, j, kb: (i, 0, j)),
+            pl.BlockSpec((1, 8, block_q), lambda i, j, kb: (i, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, d, nq_p), dtype),
+            jax.ShapeDtypeStruct((b * h, 8, nq_p), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((8, block_q), jnp.float32),   # running max (row 0)
+            pltpu.VMEM((8, block_q), jnp.float32),   # running denom (row 0)
+            pltpu.VMEM((d, block_q), jnp.float32),   # output accumulator^T
+        ],
+        interpret=_INTERPRET,
+    )(qr, kr, vr)
+
+    out = out_t.transpose(0, 2, 1)[:, :nq, :].reshape(b, h, nq, d)
+    return out, lse
+
+
+def _bwd_dq_kernel_t(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
+                     dq_scr, *, scale: float, kv_len: int, block_k: int):
+    kb = pl.program_id(2)
+    nkb = pl.num_programs(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]                  # (BQ, d)
+    k = k_ref[0]                  # (BK, d)
+    v = v_ref[0]                  # (BK, d)
+    do = do_ref[0]                # (BQ, d)
+    lse = lse_ref[0][:1, :]       # (1, BQ)
+    delta = delta_ref[0][:1, :]   # (1, BQ)
+
+    s_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                     # (BK, BQ)
+    kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
+    s_t = jnp.where(kv_ids < kv_len, s_t, _NEG_INF)
+    p_t = jnp.exp(s_t - lse)      # (BK, BQ)
+
+    # dp^T = v @ do^T: (BK, BQ) — contracts d (inherent d/128 cost)
+    dp_t = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds_t = p_t * (dp_t - delta) * scale                        # (BK, BQ)
+    # dq^T (d, BQ) += k^T @ ds^T — contract BK with BK
+    dq_scr[:] += jax.lax.dot_general(
+        k, ds_t.astype(k.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kb == nkb - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)             # (d, BQ)
+
+
+def _bwd_dkv_kernel_t(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      dk_ref, dv_ref, dk_scr, dv_scr, *,
+                      scale: float, kv_len: int, block_k: int):
+    qb = pl.program_id(2)
+    nqb = pl.num_programs(2)
+    kb = pl.program_id(1)
+
+    @pl.when(qb == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0][:1, :]
+    delta = delta_ref[0][:1, :]
+
+    s_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale                     # (BK, BQ)
+    kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
+    s_t = jnp.where(kv_ids < kv_len, s_t, _NEG_INF)
+    p_t = jnp.exp(s_t - lse)
+
+    # dv^T (d, BK) += do^T @ p — contract BQ: do (BQ, d), p_t (BK, BQ)
+    dv_scr[:] += jax.lax.dot_general(
+        do, p_t.astype(do.dtype), (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp_t = jax.lax.dot_general(
+        v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds_t = p_t * (dp_t - delta) * scale
+    # dk^T (d, BK) += q^T @ ds — contract BQ: q (BQ, d), ds_t (BK, BQ)
+    dk_scr[:] += jax.lax.dot_general(
+        q, ds_t.astype(q.dtype), (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qb == nqb - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_backward_t(q, k, v, o, lse, do, scale):
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    dtype = q.dtype
+
+    block_q, block_k = _block_sizes(nq, nk, "bwd", b * h)
+    nq_p = _pad_to(nq, block_q)
+    nk_p = _pad_to(nk, block_k)
+
+    qr = jnp.pad(q.reshape(b * h, nq, d), ((0, 0), (0, nq_p - nq), (0, 0)))
+    kr = jnp.pad(k.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, 0)))
+    vr = jnp.pad(v.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, 0)))
+    dor = jnp.pad(do.reshape(b * h, nq, d), ((0, 0), (0, nq_p - nq), (0, 0)))
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta = jnp.pad(delta.reshape(b * h, nq), ((0, 0), (0, nq_p - nq)))
+    delta = jnp.broadcast_to(delta[:, None, :], (b * h, 8, nq_p))
+    # lse is (BH, 8, nq) sublane-broadcast in this layout; padded q columns
+    # keep lse=0 (finite; their contributions are zero — see non-transposed)
+    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, nq_p - lse.shape[2])))
+
+    grid_dq = (b * h, nq_p // block_q, nk_p // block_k)
+    dq_t = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel_t, scale=scale, kv_len=nk,
+                          block_k=block_k),
+        grid=grid_dq,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda i, j, kb: (i, 0, j)),
+            pl.BlockSpec((1, 8, block_q), lambda i, j, kb: (i, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, d, block_q), lambda i, j, kb: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, nq_p), dtype),
+        scratch_shapes=[pltpu.VMEM((d, block_q), jnp.float32)],
+        interpret=_INTERPRET,
+    )(qr, kr, vr, dor, lse_p, delta)
+
+    grid_dkv = (b * h, nk_p // block_k, nq_p // block_q)
+    dk_t, dv_t = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel_t, scale=scale, kv_len=nk,
+                          block_k=block_k),
+        grid=grid_dkv,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, kb, j: (i, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, kb, j: (i, kb, 0)),
+            pl.BlockSpec((1, block_k, d), lambda i, kb, j: (i, kb, 0)),
+            pl.BlockSpec((1, block_q, d), lambda i, kb, j: (i, j, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda i, kb, j: (i, 0, j)),
+            pl.BlockSpec((1, 8, block_q), lambda i, kb, j: (i, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, d, block_k), lambda i, kb, j: (i, 0, kb)),
+            pl.BlockSpec((1, d, block_k), lambda i, kb, j: (i, 0, kb)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, d, nk_p), dtype),
+            jax.ShapeDtypeStruct((b * h, d, nk_p), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((d, block_k), jnp.float32),
+            pltpu.VMEM((d, block_k), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(qr, kr, vr, dor, lse_p, delta)
+
+    dq = dq_t.transpose(0, 2, 1)[:, :nq, :].reshape(b, h, nq, d)
+    dk = dk_t.transpose(0, 2, 1)[:, :nk, :].reshape(b, h, nk, d)
+    dv = dv_t.transpose(0, 2, 1)[:, :nk, :].reshape(b, h, nk, d)
+    return dq, dk, dv
 
 
 # ---------------------------------------------------------------------------
@@ -289,7 +575,7 @@ def _flash_backward(q, k, v, o, lse, do, scale):
     dtype = q.dtype
 
     dp_ = d  # native head dim (see _flash_forward)
-    block_q, block_k = _block_sizes(nq, nk, "bwd")
+    block_q, block_k = _block_sizes(nq, nk, "bwd", b * h)
     nq_p = _pad_to(nq, block_q)
     nk_p = _pad_to(nk, block_k)
 
@@ -372,20 +658,38 @@ def _xla_reference(q, k, v, scale):
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
 
+_TRANSPOSED = True  # A/B hook: use the d-major kernels for head dims < 128
+
+
+def set_transposed_kernels(on: bool) -> None:
+    global _TRANSPOSED
+    _TRANSPOSED = on
+
+
+def _pick_forward(d: int):
+    return _flash_forward_t if (_TRANSPOSED and _use_transposed(d)) else _flash_forward
+
+
+def _pick_backward(d: int):
+    return _flash_backward_t if (_TRANSPOSED and _use_transposed(d)) else _flash_backward
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q, k, v, scale):
-    out, _ = _flash_forward(q, k, v, scale)
+    out, _ = _pick_forward(q.shape[-1])(q, k, v, scale)
     return out
 
 
 def _flash_fwd_rule(q, k, v, scale):
-    out, lse = _flash_forward(q, k, v, scale)
+    out, lse = _pick_forward(q.shape[-1])(q, k, v, scale)
     return out, (q, k, v, out, lse)
 
 
 def _flash_bwd_rule(scale, res, g):
+    # the lse layout differs between the variants; _pick_backward's choice is
+    # a pure function of d (+ the module flag), matching _pick_forward's
     q, k, v, o, lse = res
-    return _flash_backward(q, k, v, o, lse, g, scale)
+    return _pick_backward(q.shape[-1])(q, k, v, o, lse, g, scale)
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)

@@ -18,6 +18,16 @@ def interpret_mode():
     fa.set_interpret_mode(False)
 
 
+@pytest.fixture(autouse=True, params=[True, False],
+                ids=["transposed", "classic"])
+def kernel_variant(request):
+    """Run every kernel test against both the d-major (transposed) kernels
+    and the classic layout (what d >= 128 uses)."""
+    fa.set_transposed_kernels(request.param)
+    yield
+    fa.set_transposed_kernels(True)
+
+
 @pytest.mark.parametrize("b,h,n,d", [
     (1, 2, 256, 40),    # SD 320-ch head dim
     (1, 2, 256, 80),

@@ -23,6 +23,8 @@ CASES = [
     (8, 1024, 80),
     (8, 4096, 80),   # 1024px at the 32x downsampled level
     (8, 256, 160),
+    (16, 4096, 40),  # CFG-doubled batch (plain loop / bs2)
+    (16, 1024, 80),
 ]
 
 BLOCKS = [256, 512, 1024, 2048]
@@ -85,11 +87,27 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--reps", type=int, default=20)
     p.add_argument("--what", nargs="+", default=["fwd", "bwd"])
+    p.add_argument("--variant", choices=["transposed", "classic", "both"],
+                   default="both")
+    p.add_argument("--cases", type=int, nargs="*", default=None,
+                   help="indices into CASES (default: all)")
     args = p.parse_args()
 
+    variants = {"transposed": [True], "classic": [False],
+                "both": [True, False]}[args.variant]
+    cases = ([CASES[i] for i in args.cases] if args.cases is not None
+             else CASES)
+    for tp in variants:
+        fa.set_transposed_kernels(tp)
+        print(f"# variant: {'transposed' if tp else 'classic'}")
+        _run(args, cases)
+    fa.set_transposed_kernels(True)
+
+
+def _run(args, cases):
     for what in args.what:
         print(f"## {what}")
-        for bh, n, d, in CASES:
+        for bh, n, d, in cases:
             results = []
             for bq in BLOCKS:
                 if bq > n:

@@ -60,6 +60,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--reps", type=int, default=50)
+    p.add_argument("--xfmr-parts", action="store_true",
+                   help="break the 64x64 transformer block into sub-ops")
     args = p.parse_args()
     b = args.batch
 
@@ -114,6 +116,36 @@ def main():
          SpatialTransformer(1280, 8, 768, compute_dtype=jnp.bfloat16),
          (jnp.zeros((b, 8, 8, 1280)), ctx)),
     ]
+
+    if args.xfmr_parts:
+        from sketch2img_tpu.models.layers import (
+            CrossAttention, GEGLUFeedForward, GroupNorm, LayerNorm,
+        )
+        import flax.linen as nn
+
+        class GNProj(nn.Module):
+            dim: int
+
+            @nn.compact
+            def __call__(self, x):
+                h = GroupNorm(32, 1e-6, name="norm")(x)
+                h = nn.Conv(self.dim, (1, 1), dtype=jnp.bfloat16,
+                            name="proj_in")(h)
+                return h.reshape(x.shape[0], -1, self.dim)
+
+        x320 = jnp.zeros((b, 64, 64, 320))
+        tok = jnp.zeros((b, 4096, 320))
+        CASES = [
+            ("self-attn 4096x320", 1,
+             CrossAttention(320, 8, 40, compute_dtype=jnp.bfloat16), (tok,)),
+            ("cross-attn 4096x77", 1,
+             CrossAttention(320, 8, 40, context_dim=768,
+                            compute_dtype=jnp.bfloat16), (tok, ctx)),
+            ("ffn 4096x320", 1,
+             GEGLUFeedForward(320, compute_dtype=jnp.bfloat16), (tok,)),
+            ("gn+proj_in 64x64x320", 1, GNProj(320), (x320,)),
+            ("layernorm 4096x320", 3, LayerNorm(), (tok,)),
+        ]
 
     total = 0.0
     print(f"# batch={b}")
