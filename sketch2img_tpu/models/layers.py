@@ -168,7 +168,12 @@ class GEGLUFeedForward(nn.Module):
         inner = self.dim * self.mult
         h = nn.Dense(inner * 2, dtype=self.compute_dtype, name="proj_in")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * nn.gelu(gate, approximate=False)
+        # exact-erf gelu (torch F.gelu default) in fp32; under bf16 compute
+        # the tanh approximation's error (<3e-3 abs, peak near |x|=2) is
+        # below bf16 roundoff and the erf lowering costs 3-6x on the VPU
+        # (tools/bench_gelu.py: 574us vs 93us at the SD 64x64 FFN shape)
+        approx = jnp.dtype(self.compute_dtype) == jnp.dtype(jnp.bfloat16)
+        h = h * nn.gelu(gate, approximate=approx)
         return nn.Dense(self.dim, dtype=self.compute_dtype, name="proj_out")(h)
 
 

@@ -110,12 +110,16 @@ class TransformerBlock(nn.Module):
             x = x + inj_scale * s
         elif self.injection == "clip" and inj_state is not None:
             # self-attn over [hidden; projected CLIP tokens], keep first N
-            # (clip_guided_attn.py:113-125)
+            # (clip_guided_attn.py:113-125). The reference attends with all
+            # N+257 queries then slices; attention rows are independent, so
+            # querying only the N kept rows (kv still over the full concat)
+            # is the same math minus the discarded rows' work.
             proj = nn.Dense(dim, dtype=dt, name="sketch_proj")(inj_state.astype(x.dtype))
             cat = jnp.concatenate([x, proj], axis=1)
             h = LayerNorm(name="sketch_norm")(cat)
-            s = CrossAttention(dim, heads, dim_head, compute_dtype=dt, name="sketch_attn")(h)
-            s = s[:, : x.shape[1], :]
+            s = CrossAttention(dim, heads, dim_head, compute_dtype=dt, name="sketch_attn")(
+                h[:, : x.shape[1], :], context=h
+            )
             s = nn.Dense(dim, dtype=dt, name="sketch_conv")(s)
             x = x + inj_scale * s
 

@@ -79,7 +79,7 @@ def supported(q, k, v, mask) -> bool:
 # buckets fall back to the 1024x1024 defaults (capped to the sequence).
 _BLOCK_TABLE: dict = {
     ("fwd", 4096, 8): (1024, 2048),    # 321us @ (8, 4096, 40)
-    ("fwd", 4096, 16): (2048, 1024),   # 831us @ (16, 4096, 40); best-2 tie
+    ("fwd", 4096, 16): (4096, 256),    # 780us @ (16, 4096, 40); h2h median
     ("fwd", 9216, 8): (512, 1024),     # 2.02ms @ (8, 9216, 40) — 768px
     ("fwd", 9216, 16): (512, 1024),
     ("fwd", 16384, 8): (2048, 512),    # 6.72ms @ (8, 16384, 40) — 1024px

@@ -27,7 +27,7 @@ CASES = [
     (16, 1024, 80),
 ]
 
-BLOCKS = [256, 512, 1024, 2048]
+BLOCKS = [256, 512, 1024, 2048, 4096]
 
 
 def fetch(x):
