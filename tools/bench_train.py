@@ -1,0 +1,108 @@
+"""LGP training-step throughput at the reference config (train.yaml:3-5):
+batch 4, 512px, on-device anime2sketch at 1024px, two VAE encodes, frozen
+UNet with taps, 8-bit AdamW — one jit'd step, random full-size weights.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_train.py \
+    [--batch 4] [--size 512] [--reps 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def _random_init(module, *a, seed=0, scale=0.02, **kw):
+    shapes = jax.eval_shape(lambda: module.init(jax.random.PRNGKey(0), *a, **kw))
+    rng = np.random.RandomState(seed)
+
+    def leaf(s):
+        return jnp.asarray(rng.normal(0.0, scale, s.shape).astype(np.float32), s.dtype)
+
+    return jax.tree_util.tree_map(leaf, shapes)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--reps", type=int, default=10)
+    args = p.parse_args()
+
+    from sketch2img_tpu.core.schedulers import make_schedule
+    from sketch2img_tpu.models.anime2sketch import create_anime2sketch
+    from sketch2img_tpu.models.clip_text import CLIPTextConfig, CLIPTextEncoder
+    from sketch2img_tpu.models.lgp import LatentEdgePredictor
+    from sketch2img_tpu.models.unet import SD15_CONFIG, UNet2DCondition
+    from sketch2img_tpu.models.vae import AutoencoderKL, VAEConfig
+    from sketch2img_tpu.train.optim import make_optimizer
+    from sketch2img_tpu.train.train_lgp import (
+        init_lgp_train_state,
+        make_lgp_train_step,
+    )
+
+    dt = jnp.bfloat16
+    b, size = args.batch, args.size
+    hw = size // 8
+
+    unet = UNet2DCondition(SD15_CONFIG, compute_dtype=dt)
+    vae = AutoencoderKL(VAEConfig(), compute_dtype=dt)
+    text = CLIPTextEncoder(CLIPTextConfig())
+    gan = create_anime2sketch(compute_dtype=dt)
+    lgp = LatentEdgePredictor(compute_dtype=dt)
+
+    print("initializing weights...", flush=True)
+    up = _random_init(unet, jnp.zeros((1, hw, hw, 4)), jnp.zeros((1,), jnp.int32),
+                      jnp.zeros((1, 77, 768)))["params"]
+    vp = _random_init(vae, jnp.zeros((1, 64, 64, 3)),
+                      seed=1, method=AutoencoderKL.encode)["params"]
+    tp = _random_init(text, jnp.zeros((1, 77), jnp.int32), seed=2)["params"]
+    gp = _random_init(gan, jnp.zeros((1, 256, 256, 3)), seed=3)["params"]
+    lv = _random_init(lgp, jnp.zeros((1, hw, hw, 9280)), jnp.zeros((1, hw, hw, 4)),
+                      seed=4)
+    lv["batch_stats"] = jax.tree_util.tree_map(lambda x: jnp.abs(x) + 0.5,
+                                               lv["batch_stats"])
+
+    tx = make_optimizer("bitsandbytes.optim.AdamW8bit", 2e-4, weight_decay=1e-2)
+    step = make_lgp_train_step(
+        lambda v, f, n, train: lgp.apply(v, f, n, train=train,
+                                         mutable=["batch_stats"]),
+        lambda p, x, t, c: unet.apply({"params": p}, x, t, c, capture_taps=True),
+        lambda p, img: vae.apply({"params": p}, img, method=AutoencoderKL.encode),
+        lambda p, ids: text.apply({"params": p}, ids),
+        lambda p, img: gan.apply({"params": p}, img),
+        make_schedule(), tx,
+    )
+    step = jax.jit(step, donate_argnums=(0,))
+
+    state = init_lgp_train_state(lv, tx)
+    frozen = {"unet": up, "vae": vp, "text": tp, "gan": gp}
+    batch = {
+        "input_ids": jnp.full((b, 77), 42, jnp.int32),
+        "pixels": jax.random.normal(jax.random.PRNGKey(9), (b, size, size, 3),
+                                    jnp.float32) * 0.3,
+    }
+
+    print("compiling...", flush=True)
+    state, m = step(state, frozen, batch, jax.random.PRNGKey(0))
+    assert bool(jnp.isfinite(m["loss"])), "non-finite loss"
+    float(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(args.reps):
+        state, m = step(state, frozen, batch, jax.random.PRNGKey(i + 1))
+    float(m["loss"])  # dependent fetch = sync through the tunnel
+    dt_step = (time.perf_counter() - t0) / args.reps
+    print(f"bs{b} {size}px: {dt_step*1e3:.1f} ms/step, "
+          f"{b/dt_step:.1f} images/sec/chip", flush=True)
+
+
+if __name__ == "__main__":
+    main()
