@@ -18,6 +18,7 @@ def build_pipeline(model_path: str, lgp_weights: str):
 
     c = SDComponents.from_diffusers_dir(model_path)
     c.load_lgp_torch(lgp_weights)  # app.py:67-70 (9320, 4, 9)
+    c.cast_params()  # serving: bf16 weights (reference loads fp16, app.py:29-43)
     return SketchGuidedPipeline(c)
 
 

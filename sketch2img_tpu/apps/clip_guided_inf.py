@@ -53,6 +53,11 @@ class ClipGuidedPipeline:
         if attn_weights:  # sketch_attn_model.npz (clip_guided_inf.py:47)
             inj = load_params_npz(attn_weights)
         self.unet_params = merge_injection_params(self.c.unet_params, inj)
+        # serving: bf16 weights once (reference loads fp16, clip_guided_inf.py:44)
+        from sketch2img_tpu.utils.params import cast_float_params
+
+        self.c.cast_params()
+        self.unet_params = cast_float_params(self.unet_params, jnp.bfloat16)
 
         self.clip = CLIPVisionEncoder(compute_dtype=jnp.bfloat16)
         if clip_weights:  # sketch_encoder_model.npz (clip_guided_inf.py:51)
@@ -61,6 +66,7 @@ class ClipGuidedPipeline:
             self.clip_params = self.clip.init(
                 jax.random.PRNGKey(1), jnp.zeros((1, 224, 224, 3))
             )["params"]
+        self.clip_params = cast_float_params(self.clip_params, jnp.bfloat16)
         self._fns = {}
 
     def encode_sketch(self, spimg01: np.ndarray):

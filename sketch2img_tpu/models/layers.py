@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -41,19 +42,78 @@ def timestep_embedding(
     return emb
 
 
+# materialize the norm input once instead of letting XLA fuse (and
+# recompute) expensive producers into each of the norm's reduce/normalize
+# consumer passes. Isolated norms are fast (<=8us) but in the full UNet XLA
+# was duplicating big producer fusions into all three passes; the barrier
+# cut the bs1 512px forward 11.3 -> 9.5 ms on v5e. Off-switch for A/B.
+_NORM_INPUT_BARRIER = True
+
+
+def set_norm_input_barrier(on: bool) -> None:
+    global _NORM_INPUT_BARRIER
+    _NORM_INPUT_BARRIER = on
+
+
+class _NormParams(nn.Module):
+    """scale/bias parameter pair registered under a fixed child name so the
+    manual-math norms below keep the exact param tree the nn.GroupNorm /
+    nn.LayerNorm wrappers had (checkpoint converters untouched)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class GroupNorm(nn.Module):
-    """GroupNorm with fp32 statistics (params fp32, output in input dtype)."""
+    """GroupNorm with fp32 statistics (params fp32, output in input dtype).
+
+    Written as two fp32 reductions plus ONE fused `x * mul + add` elementwise
+    pass emitting the input dtype directly (no materialized fp32 copy of the
+    activation). The per-CHANNEL-sums-first structure keeps the big-tensor
+    reduction over the major (spatial) axes with the minor dim left at c —
+    never reshape the activation to (..., g, c/g), whose c/g-lane minor dim
+    pads 10->128 on 320-channel tensors. Fast-variance (E[x^2]-E[x]^2 in
+    fp32) matches flax's default.
+
+    A profiler trace showed the UNet's norms costing ~3 ms of an 11.5 ms bs1
+    forward; isolated norms are fast, the cost was XLA re-fusing expensive
+    producers into each consumer pass — fixed by the module-level norm-input
+    optimization barrier above, not by the formulation (measured neutral vs
+    nn.GroupNorm, kept for the barrier hook + no-copy property).
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        dtype = x.dtype
-        y = nn.GroupNorm(
-            num_groups=self.num_groups, epsilon=self.epsilon, dtype=jnp.float32
-        )(x.astype(jnp.float32))
-        return y.astype(dtype)
+        if _NORM_INPUT_BARRIER:
+            x = jax.lax.optimization_barrier(x)
+        b, h, w, c = x.shape
+        g = self.num_groups
+        cg = c // g
+        scale, bias = _NormParams(c, name="GroupNorm_0")()
+        # per-CHANNEL sums first: the big-tensor reduction runs over the
+        # major (spatial) axes with the minor dim left at c — never reshape
+        # the activation to (..., g, c/g), whose c/g-lane minor dim pads
+        # 10->128 on 320-channel tensors and wastes ~13x the bandwidth
+        s1 = jnp.sum(x.astype(jnp.float32), axis=(1, 2))            # (b, c)
+        s2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=(1, 2))
+        # channel sums -> group stats on the tiny (b, c) array only
+        n = h * w * cg
+        m = s1.reshape(b, g, cg).sum(-1, keepdims=True) / n         # (b, g, 1)
+        m2 = s2.reshape(b, g, cg).sum(-1, keepdims=True) / n
+        inv = jax.lax.rsqrt(jnp.maximum(m2 - m * m, 0.0) + self.epsilon)
+        sr = scale.astype(jnp.float32).reshape(1, g, cg)
+        br = bias.astype(jnp.float32).reshape(1, g, cg)
+        mul = (inv * sr).reshape(b, 1, 1, c)
+        add = (br - m * inv * sr).reshape(b, 1, 1, c)
+        return (x.astype(jnp.float32) * mul + add).astype(x.dtype)
 
 
 class ResnetBlock(nn.Module):
@@ -178,13 +238,21 @@ class GEGLUFeedForward(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm with fp32 statistics."""
+    """LayerNorm with fp32 statistics — same fusion-friendly formulation as
+    GroupNorm above (fp32 reductions, one fused elementwise pass out)."""
 
     epsilon: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        dtype = x.dtype
-        return nn.LayerNorm(epsilon=self.epsilon, dtype=jnp.float32)(
-            x.astype(jnp.float32)
-        ).astype(dtype)
+        if _NORM_INPUT_BARRIER:
+            x = jax.lax.optimization_barrier(x)
+        c = x.shape[-1]
+        scale, bias = _NormParams(c, name="LayerNorm_0")()
+        m = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
+        m2 = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(jnp.maximum(m2 - m * m, 0.0) + self.epsilon)
+        sf = scale.astype(jnp.float32)
+        mul = inv * sf
+        add = bias.astype(jnp.float32) - m * inv * sf
+        return (x.astype(jnp.float32) * mul + add).astype(x.dtype)

@@ -47,6 +47,12 @@ _NEG_INF = -1e30
 # test hook: run the kernels in the pallas interpreter (works on CPU)
 _INTERPRET = False
 
+# grid = (bh, blocks, blocks): first two dims are independent, the last
+# carries the running softmax / accumulator state between steps
+_CPARAMS = (pltpu.CompilerParams(
+    dimension_semantics=("parallel", "parallel", "arbitrary"))
+    if pltpu is not None else None)
+
 
 def set_interpret_mode(on: bool) -> None:
     global _INTERPRET
@@ -205,6 +211,7 @@ def _flash_forward(q, k, v, scale):
             pltpu.VMEM((block_q, dp), jnp.float32),      # output accumulator
         ],
         interpret=_INTERPRET,
+        compiler_params=_CPARAMS,
     )(qr, kr, vr)
 
     return out[:, :nq, :].reshape(b, h, nq, d), lse
@@ -315,6 +322,7 @@ def _flash_forward_t(q, k, v, scale):
             pltpu.VMEM((d, block_q), jnp.float32),   # output accumulator^T
         ],
         interpret=_INTERPRET,
+        compiler_params=_CPARAMS,
     )(qr, kr, vr)
 
     out = out_t.transpose(0, 2, 1)[:, :nq, :].reshape(b, h, nq, d)
@@ -444,6 +452,7 @@ def _flash_backward_t(q, k, v, o, lse, do, scale):
         out_shape=jax.ShapeDtypeStruct((b * h, d, nq_p), dtype),
         scratch_shapes=[pltpu.VMEM((d, block_q), jnp.float32)],
         interpret=_INTERPRET,
+        compiler_params=_CPARAMS,
     )(qr, kr, vr, dor, lse_p, delta)
 
     grid_dkv = (b * h, nk_p // block_k, nq_p // block_q)
@@ -472,6 +481,7 @@ def _flash_backward_t(q, k, v, o, lse, do, scale):
             pltpu.VMEM((d, block_k), jnp.float32),
         ],
         interpret=_INTERPRET,
+        compiler_params=_CPARAMS,
     )(qr, kr, vr, dor, lse_p, delta)
 
     dq = dq_t.transpose(0, 2, 1)[:, :nq, :].reshape(b, h, nq, d)
@@ -609,6 +619,7 @@ def _flash_backward(q, k, v, o, lse, do, scale):
         out_shape=jax.ShapeDtypeStruct((b * h, nq_p, dp_), dtype),
         scratch_shapes=[pltpu.VMEM((block_q, dp_), jnp.float32)],
         interpret=_INTERPRET,
+        compiler_params=_CPARAMS,
     )(qr, kr, vr, dor, lse_p, delta)
 
     grid_dkv = (b * h, nk_p // block_k, nq_p // block_q)
@@ -637,6 +648,7 @@ def _flash_backward(q, k, v, o, lse, do, scale):
             pltpu.VMEM((block_k, dp_), jnp.float32),
         ],
         interpret=_INTERPRET,
+        compiler_params=_CPARAMS,
     )(qr, kr, vr, dor, lse_p, delta)
 
     dq = dq[:, :nq, :].reshape(b, h, nq, d)

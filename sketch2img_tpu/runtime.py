@@ -232,6 +232,27 @@ class SDComponents:
             c.lgp_vars = load_params_npz(lgp_path)
         return c
 
+    def cast_params(self, dtype=jnp.bfloat16, *, lgp: bool = False) -> "SDComponents":
+        """Cast float params to ``dtype`` ONCE — the serving-mode analog of
+        the reference demos loading fp16 weights (app.py:29-43 ``.half()``/
+        ``revision="fp16"``). Without it every in-module ``astype(bf16)``
+        re-converts fp32 weights per forward (~1.8 ms/UNet-fwd of pure
+        ``convert_element_type`` HBM traffic in a profiler trace).
+
+        The LGP stays fp32 by default (its compute dtype is fp32 for
+        edge-parity with ``edge_predictor.pt``). Training code never calls
+        this — fp32 master params stay the optimizer's business."""
+        from sketch2img_tpu.utils.params import cast_float_params
+
+        self.unet_params = cast_float_params(self.unet_params, dtype)
+        self.vae_params = cast_float_params(self.vae_params, dtype)
+        self.text_params = cast_float_params(self.text_params, dtype)
+        if self.safety_params is not None:
+            self.safety_params = cast_float_params(self.safety_params, dtype)
+        if lgp and self.lgp_vars is not None:
+            self.lgp_vars = cast_float_params(self.lgp_vars, dtype)
+        return self
+
     @property
     def vae_scale_factor(self) -> int:
         """Pixel-to-latent downscale (8 for SD1.x)."""

@@ -62,6 +62,8 @@ def main():
     p.add_argument("--reps", type=int, default=50)
     p.add_argument("--xfmr-parts", action="store_true",
                    help="break the 64x64 transformer block into sub-ops")
+    p.add_argument("--glue", action="store_true",
+                   help="up/downsamples, conv_in/out, skip concats")
     args = p.parse_args()
     b = args.batch
 
@@ -145,6 +147,44 @@ def main():
              GEGLUFeedForward(320, compute_dtype=jnp.bfloat16), (tok,)),
             ("gn+proj_in 64x64x320", 1, GNProj(320), (x320,)),
             ("layernorm 4096x320", 3, LayerNorm(), (tok,)),
+        ]
+
+    if args.glue:
+        from sketch2img_tpu.models.layers import Downsample, GroupNorm, Upsample
+        import flax.linen as nn
+
+        class ConvOut(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                h = GroupNorm(32, 1e-5, name="norm")(x)
+                h = nn.silu(h)
+                return nn.Conv(4, (3, 3), padding=((1, 1), (1, 1)),
+                               dtype=jnp.bfloat16, name="conv_out")(h)
+
+        CASES = [
+            ("down 64->32 320ch", 1,
+             Downsample(320, compute_dtype=jnp.bfloat16),
+             (jnp.zeros((b, 64, 64, 320)),)),
+            ("down 32->16 640ch", 1,
+             Downsample(640, compute_dtype=jnp.bfloat16),
+             (jnp.zeros((b, 32, 32, 640)),)),
+            ("down 16->8 1280ch", 1,
+             Downsample(1280, compute_dtype=jnp.bfloat16),
+             (jnp.zeros((b, 16, 16, 1280)),)),
+            ("up 8->16 1280ch", 1,
+             Upsample(1280, compute_dtype=jnp.bfloat16),
+             (jnp.zeros((b, 8, 8, 1280)),)),
+            ("up 16->32 1280ch", 1,
+             Upsample(1280, compute_dtype=jnp.bfloat16),
+             (jnp.zeros((b, 16, 16, 1280)),)),
+            ("up 32->64 640ch", 1,
+             Upsample(640, compute_dtype=jnp.bfloat16),
+             (jnp.zeros((b, 32, 32, 640)),)),
+            ("conv_in 4->320", 1,
+             nn.Conv(320, (3, 3), padding=((1, 1), (1, 1)), dtype=jnp.bfloat16),
+             (jnp.zeros((b, 64, 64, 4)),)),
+            ("gn+silu+conv_out 320->4", 1, ConvOut(),
+             (jnp.zeros((b, 64, 64, 320)),)),
         ]
 
     total = 0.0

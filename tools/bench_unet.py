@@ -39,10 +39,18 @@ def main():
     p.add_argument("--backends", nargs="+", default=["xla", "auto"])
     p.add_argument("--reps", type=int, default=40)
     p.add_argument("--size", type=int, default=64, help="latent h=w")
+    p.add_argument("--cast-params", action="store_true",
+                   help="pre-cast float params to bf16 (serving mode)")
+    p.add_argument("--norm-barrier", action="store_true",
+                   help="optimization_barrier on norm inputs")
     args = p.parse_args()
 
     from sketch2img_tpu.models.unet import SD15_CONFIG, UNet2DCondition
     from sketch2img_tpu.ops.conv2d import set_default_conv_backend
+
+    if args.norm_barrier:
+        from sketch2img_tpu.models.layers import set_norm_input_barrier
+        set_norm_input_barrier(True)
 
     unet = UNet2DCondition(SD15_CONFIG, compute_dtype=jnp.bfloat16)
     s = args.size
@@ -58,6 +66,9 @@ def main():
             shapes)["params"]
 
     params = make_params()
+    if args.cast_params:
+        from sketch2img_tpu.utils.params import cast_float_params
+        params = cast_float_params(params, jnp.bfloat16)
 
     for be in args.backends:
         set_default_conv_backend(be)
