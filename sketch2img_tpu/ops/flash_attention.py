@@ -44,6 +44,14 @@ _DEFAULT_BLOCK_Q = 1024
 _DEFAULT_BLOCK_K = 1024
 _NEG_INF = -1e30
 
+# softmax runs in the exp2 domain: log2(e) is folded into the logit scale
+# (one fused multiply with the scale the kernel already applies), exp
+# becomes the cheaper exp2, and the log-sum-exp converts back to natural
+# log only on the tiny per-row stat tile. Saves one full elementwise pass
+# over every (BQ, BK) logit tile on the VPU.
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+
 # test hook: run the kernels in the pallas interpreter (works on CPU)
 _INTERPRET = False
 
@@ -84,15 +92,17 @@ def supported(q, k, v, mask) -> bool:
 # Kinds: "fwd" and "bwd" (both backward kernels share blocks). Absent
 # buckets fall back to the 1024x1024 defaults (capped to the sequence).
 _BLOCK_TABLE: dict = {
-    ("fwd", 4096, 8): (1024, 2048),    # 321us @ (8, 4096, 40)
-    ("fwd", 4096, 16): (4096, 256),    # 780us @ (16, 4096, 40); h2h median
-    ("fwd", 9216, 8): (512, 1024),     # 2.02ms @ (8, 9216, 40) — 768px
-    ("fwd", 9216, 16): (512, 1024),
+    # re-tuned after the exp2-domain softmax + mask-elision rewrite
+    # (h2h medians, tools/bench_flash_headtohead.py, 5 rounds x 40 reps)
+    ("fwd", 4096, 8): (2048, 1024),    # 335us @ (8, 4096, 40)
+    ("fwd", 4096, 16): (4096, 256),    # 419us @ (16, 4096, 40) (was 780)
+    ("fwd", 9216, 8): (1024, 1024),    # 2.30ms @ (8, 9216, 40) — 768px
+    ("fwd", 9216, 16): (1024, 1024),
     ("fwd", 16384, 8): (2048, 512),    # 6.72ms @ (8, 16384, 40) — 1024px
     ("fwd", 16384, 16): (2048, 512),
-    ("bwd", 4096, 8): (1024, 1024),    # 765us @ (8, 4096, 40)
-    ("bwd", 4096, 16): (2048, 512),    # 1.77ms @ (16, 4096, 40)
-    ("bwd", 9216, 8): (1024, 1024),    # 4.65ms
+    ("bwd", 4096, 8): (2048, 512),     # 823us fwd+bwd chain @ (8, 4096, 40)
+    ("bwd", 4096, 16): (4096, 256),    # 1.60ms fwd+bwd chain @ (16, 4096, 40)
+    ("bwd", 9216, 8): (1024, 1024),    # 4.30ms
     ("bwd", 9216, 16): (1024, 1024),
     ("bwd", 16384, 8): (2048, 1024),   # 13.8ms
     ("bwd", 16384, 16): (2048, 1024),
@@ -128,7 +138,7 @@ def _block_sizes(nq: int, nk: int, kind: str = "fwd", bh: int = 8):
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
-                scale: float, kv_len: int, block_k: int):
+                scale: float, kv_len: int, block_k: int, masked: bool):
     kb = pl.program_id(2)
     nkb = pl.num_programs(2)
 
@@ -142,17 +152,19 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
     k = k_ref[0]
     v = v_ref[0]
 
+    # exp2-domain logits: scale * log2(e) folded into the one multiply
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK)
+    ) * (scale * _LOG2E)  # (BQ, BK)
 
-    kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(kv_ids < kv_len, s, _NEG_INF)
+    if masked:  # only emitted when the kv length doesn't tile evenly
+        kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kv_ids < kv_len, s, _NEG_INF)
 
     m_prev = m_scr[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
 
     l_scr[:, :1] = alpha * l_scr[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
@@ -165,9 +177,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
     def _finalize():
         l = l_scr[:, :1]
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
-        # row log-sum-exp, lane-broadcast (column 0 is the value; the full
-        # 128-lane tile keeps the store aligned with no transposes)
-        lse_ref[0] = jnp.broadcast_to(m_scr[:, :1] + jnp.log(l), lse_ref.shape[1:])
+        # row log-sum-exp in NATURAL log, lane-broadcast (column 0 is the
+        # value; the full 128-lane tile keeps the store aligned)
+        lse = (m_scr[:, :1] + jnp.log2(l)) * _LN2
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _flash_forward(q, k, v, scale):
@@ -190,7 +203,8 @@ def _flash_forward(q, k, v, scale):
     grid = (b * h, nq_p // block_q, nk_p // block_k)
 
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_len=nk, block_k=block_k),
+        functools.partial(_fwd_kernel, scale=scale, kv_len=nk, block_k=block_k,
+                          masked=nk_p > nk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, dp), lambda i, j, kb: (i, j, 0)),
@@ -243,7 +257,7 @@ def _use_transposed(d: int) -> bool:
 
 
 def _fwd_kernel_t(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                  *, scale: float, kv_len: int, block_k: int):
+                  *, scale: float, kv_len: int, block_k: int, masked: bool):
     kb = pl.program_id(2)
     nkb = pl.num_programs(2)
 
@@ -257,17 +271,18 @@ def _fwd_kernel_t(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     k = k_ref[0]  # (BK, d)
     v = v_ref[0]  # (BK, d)
 
-    # s^T = k @ q^T: (BK, BQ)
+    # s^T = k @ q^T: (BK, BQ), exp2-domain (see _LOG2E note)
     s_t = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
-    s_t = jnp.where(kv_ids < kv_len, s_t, _NEG_INF)
+    ) * (scale * _LOG2E)
+    if masked:
+        kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
+        s_t = jnp.where(kv_ids < kv_len, s_t, _NEG_INF)
 
     m_prev = m_scr[:1, :]                                     # (1, BQ)
     m_new = jnp.maximum(m_prev, jnp.max(s_t, axis=0, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p_t = jnp.exp(s_t - m_new)                                # (BK, BQ)
+    alpha = jnp.exp2(m_prev - m_new)
+    p_t = jnp.exp2(s_t - m_new)                               # (BK, BQ)
 
     l_scr[:1, :] = alpha * l_scr[:1, :] + jnp.sum(p_t, axis=0, keepdims=True)
     # acc^T (d, BQ) += v^T @ p^T — contract BK with BK
@@ -281,8 +296,8 @@ def _fwd_kernel_t(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
     def _finalize():
         l = l_scr[:1, :]
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)       # (d, BQ)
-        lse_ref[0] = jnp.broadcast_to(m_scr[:1, :] + jnp.log(l),
-                                      lse_ref.shape[1:])      # (8, BQ)
+        lse = (m_scr[:1, :] + jnp.log2(l)) * _LN2             # natural log
+        lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])  # (8, BQ)
 
 
 def _flash_forward_t(q, k, v, scale):
@@ -301,7 +316,8 @@ def _flash_forward_t(q, k, v, scale):
     grid = (b * h, nq_p // block_q, nk_p // block_k)
 
     out_t, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel_t, scale=scale, kv_len=nk, block_k=block_k),
+        functools.partial(_fwd_kernel_t, scale=scale, kv_len=nk,
+                          block_k=block_k, masked=nk_p > nk),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
@@ -330,7 +346,8 @@ def _flash_forward_t(q, k, v, scale):
 
 
 def _bwd_dq_kernel_t(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                     dq_scr, *, scale: float, kv_len: int, block_k: int):
+                     dq_scr, *, scale: float, kv_len: int, block_k: int,
+                     masked: bool):
     kb = pl.program_id(2)
     nkb = pl.num_programs(2)
 
@@ -342,15 +359,16 @@ def _bwd_dq_kernel_t(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     k = k_ref[0]                  # (BK, d)
     v = v_ref[0]                  # (BK, d)
     do = do_ref[0]                # (BQ, d)
-    lse = lse_ref[0][:1, :]       # (1, BQ)
+    lse = lse_ref[0][:1, :]       # (1, BQ), natural log
     delta = delta_ref[0][:1, :]   # (1, BQ)
 
     s_t = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                     # (BK, BQ)
-    kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
-    s_t = jnp.where(kv_ids < kv_len, s_t, _NEG_INF)
-    p_t = jnp.exp(s_t - lse)      # (BK, BQ)
+    ) * (scale * _LOG2E)          # (BK, BQ), exp2 domain
+    if masked:
+        kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
+        s_t = jnp.where(kv_ids < kv_len, s_t, _NEG_INF)
+    p_t = jnp.exp2(s_t - lse * _LOG2E)   # (BK, BQ)
 
     # dp^T = v @ do^T: (BK, BQ) — contracts d (inherent d/128 cost)
     dp_t = jax.lax.dot_general(
@@ -370,7 +388,7 @@ def _bwd_dq_kernel_t(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 def _bwd_dkv_kernel_t(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                       dk_ref, dv_ref, dk_scr, dv_scr, *,
-                      scale: float, kv_len: int, block_k: int):
+                      scale: float, kv_len: int, block_k: int, masked: bool):
     qb = pl.program_id(2)
     nqb = pl.num_programs(2)
     kb = pl.program_id(1)
@@ -389,10 +407,11 @@ def _bwd_dkv_kernel_t(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     s_t = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale                     # (BK, BQ)
-    kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
-    s_t = jnp.where(kv_ids < kv_len, s_t, _NEG_INF)
-    p_t = jnp.exp(s_t - lse)
+    ) * (scale * _LOG2E)          # (BK, BQ), exp2 domain
+    if masked:
+        kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
+        s_t = jnp.where(kv_ids < kv_len, s_t, _NEG_INF)
+    p_t = jnp.exp2(s_t - lse * _LOG2E)
 
     # dv^T (d, BK) += do^T @ p — contract BQ: do (BQ, d), p_t (BK, BQ)
     dv_scr[:] += jax.lax.dot_general(
@@ -438,7 +457,7 @@ def _flash_backward_t(q, k, v, o, lse, do, scale):
     grid_dq = (b * h, nq_p // block_q, nk_p // block_k)
     dq_t = pl.pallas_call(
         functools.partial(_bwd_dq_kernel_t, scale=scale, kv_len=nk,
-                          block_k=block_k),
+                          block_k=block_k, masked=nk_p > nk),
         grid=grid_dq,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
@@ -458,7 +477,7 @@ def _flash_backward_t(q, k, v, o, lse, do, scale):
     grid_dkv = (b * h, nk_p // block_k, nq_p // block_q)
     dk_t, dv_t = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel_t, scale=scale, kv_len=nk,
-                          block_k=block_k),
+                          block_k=block_k, masked=nk_p > nk),
         grid=grid_dkv,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, kb, j: (i, j, 0)),
@@ -496,7 +515,8 @@ def _flash_backward_t(q, k, v, o, lse, do, scale):
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   dq_scr, *, scale: float, kv_len: int, block_k: int):
+                   dq_scr, *, scale: float, kv_len: int, block_k: int,
+                   masked: bool):
     kb = pl.program_id(2)
     nkb = pl.num_programs(2)
 
@@ -508,15 +528,16 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0][:, :1]      # (BQ, 1)
+    lse = lse_ref[0][:, :1]      # (BQ, 1), natural log
     delta = delta_ref[0][:, :1]  # (BQ, 1) = rowsum(do * o)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(kv_ids < kv_len, s, _NEG_INF)
-    p = jnp.exp(s - lse)  # (BQ, BK)
+    ) * (scale * _LOG2E)
+    if masked:
+        kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kv_ids < kv_len, s, _NEG_INF)
+    p = jnp.exp2(s - lse * _LOG2E)  # (BQ, BK)
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -534,7 +555,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr, *,
-                    scale: float, kv_len: int, block_k: int):
+                    scale: float, kv_len: int, block_k: int, masked: bool):
     qb = pl.program_id(2)
     nqb = pl.num_programs(2)
     kb = pl.program_id(1)
@@ -553,10 +574,11 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK)
-    kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(kv_ids < kv_len, s, _NEG_INF)
-    p = jnp.exp(s - lse)
+    ) * (scale * _LOG2E)  # (BQ, BK), exp2 domain
+    if masked:
+        kv_ids = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(kv_ids < kv_len, s, _NEG_INF)
+    p = jnp.exp2(s - lse * _LOG2E)
 
     # dv += p^T @ do
     dv_scr[:] += jax.lax.dot_general(
@@ -605,7 +627,7 @@ def _flash_backward(q, k, v, o, lse, do, scale):
     grid_dq = (b * h, nq_p // block_q, nk_p // block_k)
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=nk,
-                          block_k=block_k),
+                          block_k=block_k, masked=nk_p > nk),
         grid=grid_dq,
         in_specs=[
             pl.BlockSpec((1, block_q, dp_), lambda i, j, kb: (i, j, 0)),
@@ -625,7 +647,7 @@ def _flash_backward(q, k, v, o, lse, do, scale):
     grid_dkv = (b * h, nk_p // block_k, nq_p // block_q)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=nk,
-                          block_k=block_k),
+                          block_k=block_k, masked=nk_p > nk),
         grid=grid_dkv,
         in_specs=[
             pl.BlockSpec((1, block_q, dp_), lambda i, kb, j: (i, j, 0)),
