@@ -129,7 +129,10 @@ def bench_anime2sketch():
     gan = create_anime2sketch(compute_dtype=jnp.bfloat16)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 512, 512, 3), jnp.float32)
     params = _serving_cast(_random_init(gan, x)["params"])
-    reps = 20
+    # the ~2 ms/call kernel must dominate the ~30-45 ms (and drifting)
+    # tunnel fetch baseline: 100 chained reps puts the chain at ~200 ms so
+    # baseline variance contributes <0.5% (at 20 reps it was ~±20%)
+    reps = 100
 
     # chain reps GAN calls inside one jit (output fed back as input) so the
     # per-call time resolves above the tunnel's fetch latency
@@ -152,8 +155,12 @@ def bench_lgp():
     from sketch2img_tpu.models.lgp import LatentEdgePredictor
 
     lgp = LatentEdgePredictor(compute_dtype=jnp.bfloat16)
-    feats = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 9280), jnp.float32)
-    nl = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 4), jnp.float32)
+    # cached activations are stored bf16 (the UNet computes them in bf16;
+    # an fp32 cache would double the 76 MB/sample footprint AND add a
+    # 152 MB fp32->bf16 convert read per inference — measured ~0.3 ms of
+    # the old 0.7 ms latency)
+    feats = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 64, 9280), jnp.bfloat16)
+    nl = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 4), jnp.bfloat16)
     variables = _random_init(lgp, feats, nl)
     # BN running vars must be positive (eval-mode rsqrt)
     variables["batch_stats"] = jax.tree_util.tree_map(
@@ -161,7 +168,10 @@ def bench_lgp():
     # NO _serving_cast here: real serving keeps the LGP fp32 (edge parity,
     # cast_params(lgp=False) default) — and bf16 LGP vars measured SLOWER
     # (0.76 ms vs 0.57 ms; the w-major split-dense fuses worse in bf16)
-    reps = 20
+    # 400 chained reps: the 0.6 ms kernel must dominate the drifting
+    # ~30-45 ms tunnel fetch baseline (at 20 reps, baseline variance alone
+    # moved the metric ±25% between sessions)
+    reps = 400
 
     @jax.jit
     def chained(v, f, n):
