@@ -116,6 +116,35 @@ class GroupNorm(nn.Module):
         return (x.astype(jnp.float32) * mul + add).astype(x.dtype)
 
 
+class Conv1x1(nn.Module):
+    """1x1 conv lowered as one channel-contraction dot_general.
+
+    XLA's conv lowering picked a {3,0,2,1:T(2,128)} output layout for the
+    up-block 1x1 shortcut convs and ran ~4.7x off the FLOP bound (118 us
+    for 960->320 at 64^2, ~25 us bound — bs2 profiler trace); a plain
+    (B*H*W, Cin) x (Cin, Cout) dot keeps the row-major tiling. Parameter
+    tree matches nn.Conv ("kernel" (1,1,Cin,Cout), "bias") so torch
+    converters and checkpoints are untouched.
+    """
+
+    features: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(self.compute_dtype)
+        y = jax.lax.dot_general(
+            x, kernel[0, 0].astype(self.compute_dtype),
+            (((3,), (0,)), ((), ())), preferred_element_type=self.compute_dtype,
+        )
+        return y + bias.astype(y.dtype)
+
+
 class ResnetBlock(nn.Module):
     """GN -> SiLU -> conv3x3 [-> +time_emb] -> GN -> SiLU -> conv3x3 -> +skip.
 
@@ -148,8 +177,9 @@ class ResnetBlock(nn.Module):
             self.out_channels, compute_dtype=self.compute_dtype, name="conv2"
         )(h)
         if in_ch != self.out_channels:
-            x = nn.Conv(
-                self.out_channels, (1, 1), dtype=self.compute_dtype, name="conv_shortcut"
+            x = Conv1x1(
+                self.out_channels, compute_dtype=self.compute_dtype,
+                name="conv_shortcut",
             )(x)
         return x + h
 

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from sketch2img_tpu.models.layers import (
+    Conv1x1,
     CrossAttention,
     GEGLUFeedForward,
     GroupNorm,
@@ -154,7 +155,7 @@ class SpatialTransformer(nn.Module):
         b, hh, ww, c = x.shape
         residual = x
         h = GroupNorm(32, 1e-6, name="norm")(x)
-        h = nn.Conv(self.dim, (1, 1), dtype=self.compute_dtype, name="proj_in")(h)
+        h = Conv1x1(self.dim, compute_dtype=self.compute_dtype, name="proj_in")(h)
         h = h.reshape(b, hh * ww, self.dim)
         for d in range(self.depth):
             h = TransformerBlock(
@@ -167,7 +168,7 @@ class SpatialTransformer(nn.Module):
                 name=f"block_{d}",
             )(h, context, inj_states[d] if d < len(inj_states) else None, inj_scale)
         h = h.reshape(b, hh, ww, self.dim)
-        h = nn.Conv(c, (1, 1), dtype=self.compute_dtype, name="proj_out")(h)
+        h = Conv1x1(c, compute_dtype=self.compute_dtype, name="proj_out")(h)
         return h + residual
 
 

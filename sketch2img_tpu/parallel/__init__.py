@@ -1,3 +1,4 @@
+from sketch2img_tpu.parallel.tp import tp_param_specs, shard_params_tp
 from sketch2img_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
@@ -16,4 +17,6 @@ __all__ = [
     "shard_batch",
     "initialize_distributed",
     "sync_global_devices",
+    "tp_param_specs",
+    "shard_params_tp",
 ]
