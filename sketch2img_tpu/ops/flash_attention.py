@@ -85,23 +85,34 @@ def supported(q, k, v, mask) -> bool:
     return nq >= 128 and nk >= 128
 
 
-# measured per-kernel block dispatch (tools/bench_flash.py on v5e, transposed
-# kernels, reps=40): (kind, N-bucket, BH-bucket) -> (block_q, block_k).
-# N-bucket = smallest table key >= max(nq, nk); BH-bucket: 8 for batch*heads
-# <= 8 (bs1 guided path), 16 otherwise (CFG-doubled / batched serving).
-# Kinds: "fwd" and "bwd" (both backward kernels share blocks). Absent
-# buckets fall back to the 1024x1024 defaults (capped to the sequence).
+# measured per-kernel block dispatch: (kind, N-bucket, BH-bucket) ->
+# (block_q, block_k). N-bucket = smallest table key >= max(nq, nk);
+# BH-bucket: 8 for batch*heads <= 8 (bs1 guided path), 16 otherwise
+# (CFG-doubled / batched serving). Kinds: "fwd" and "bwd" (both backward
+# kernels share blocks). Absent buckets fall back to the 1024x1024 defaults
+# (capped to the sequence).
+#
+# The 4096-token entries are DEVICE-SIDE times from jax.profiler traces
+# (/tmp sweep scripts; 10 reps, XLA-Ops lane) — wall-clock chain timing
+# through the axon tunnel systematically under-reported them (CLAUDE.md).
+# Sweeps at (1,8,4096,40) and (2,8,4096,40) over 12 block variants plus the
+# non-transposed kernels (all >= 976us) confirm (4096, 256) optimal for
+# both BH buckets. The 9216/16384 entries are wall-chain medians
+# (tools/bench_flash_headtohead.py) — relative ordering only.
 _BLOCK_TABLE: dict = {
-    # re-tuned after the exp2-domain softmax + mask-elision rewrite
-    # (h2h medians, tools/bench_flash_headtohead.py, 5 rounds x 40 reps)
-    ("fwd", 4096, 8): (2048, 1024),    # 335us @ (8, 4096, 40)
-    ("fwd", 4096, 16): (4096, 256),    # 419us @ (16, 4096, 40) (was 780)
+    ("fwd", 4096, 8): (4096, 256),     # 394us dev @ (8, 4096, 40)
+    ("fwd", 4096, 16): (4096, 256),    # 787us dev @ (16, 4096, 40)
     ("fwd", 9216, 8): (1024, 1024),    # 2.30ms @ (8, 9216, 40) — 768px
     ("fwd", 9216, 16): (1024, 1024),
     ("fwd", 16384, 8): (2048, 512),    # 6.72ms @ (8, 16384, 40) — 1024px
     ("fwd", 16384, 16): (2048, 512),
     ("bwd", 4096, 8): (2048, 512),     # 823us fwd+bwd chain @ (8, 4096, 40)
     ("bwd", 4096, 16): (4096, 256),    # 1.60ms fwd+bwd chain @ (16, 4096, 40)
+    # per-kernel split at the guided path's hot shape (device-side sweep at
+    # (8, 4096, 40): dq 428us @ 2048x1024 vs 441 shared; dkv 562us @
+    # 1024x1024 vs 600 shared). Other buckets fall back to "bwd".
+    ("bwd_dq", 4096, 8): (2048, 1024),
+    ("bwd_dkv", 4096, 8): (1024, 1024),
     ("bwd", 9216, 8): (1024, 1024),    # 4.30ms
     ("bwd", 9216, 16): (1024, 1024),
     ("bwd", 16384, 8): (2048, 1024),   # 13.8ms
@@ -123,10 +134,14 @@ def _block_sizes(nq: int, nk: int, kind: str = "fwd", bh: int = 8):
         return min(bq, _pad_to(nq, 128)), min(bk, _pad_to(nk, 128))
     n = max(nq, nk)
     bh_bucket = 8 if bh <= 8 else 16
-    for bucket in sorted({k[1] for k in _BLOCK_TABLE if k[0] == kind}):
-        if n <= bucket:
-            bq, bk = _BLOCK_TABLE[(kind, bucket, bh_bucket)]
-            return min(bq, _pad_to(nq, 128)), min(bk, _pad_to(nk, 128))
+    lookup = (kind,) if kind in {k[0] for k in _BLOCK_TABLE} else ()
+    if kind.startswith("bwd"):
+        lookup = lookup + ("bwd",)  # per-kernel kinds fall back to shared bwd
+    for kd in lookup:
+        for bucket in sorted({k[1] for k in _BLOCK_TABLE if k[0] == kd}):
+            if n <= bucket and (kd, bucket, bh_bucket) in _BLOCK_TABLE:
+                bq, bk = _BLOCK_TABLE[(kd, bucket, bh_bucket)]
+                return min(bq, _pad_to(nq, 128)), min(bk, _pad_to(nk, 128))
     block_q = min(_DEFAULT_BLOCK_Q, _pad_to(nq, 128))
     block_k = min(_DEFAULT_BLOCK_K, _pad_to(nk, 128))
     return block_q, block_k
@@ -438,23 +453,31 @@ def _flash_backward_t(q, k, v, o, lse, do, scale):
     b, h, nq, d = q.shape
     nk = k.shape[2]
     dtype = q.dtype
+    bh = b * h
 
-    block_q, block_k = _block_sizes(nq, nk, "bwd", b * h)
-    nq_p = _pad_to(nq, block_q)
-    nk_p = _pad_to(nk, block_k)
+    delta0 = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    delta0 = delta0.reshape(bh, nq)
 
-    qr = jnp.pad(q.reshape(b * h, nq, d), ((0, 0), (0, nq_p - nq), (0, 0)))
-    kr = jnp.pad(k.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, 0)))
-    vr = jnp.pad(v.reshape(b * h, nk, d), ((0, 0), (0, nk_p - nk), (0, 0)))
-    dor = jnp.pad(do.reshape(b * h, nq, d), ((0, 0), (0, nq_p - nq), (0, 0)))
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
-    delta = jnp.pad(delta.reshape(b * h, nq), ((0, 0), (0, nq_p - nq)))
-    delta = jnp.broadcast_to(delta[:, None, :], (b * h, 8, nq_p))
-    # lse is (BH, 8, nq) sublane-broadcast in this layout; padded q columns
-    # keep lse=0 (finite; their contributions are zero — see non-transposed)
-    lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, nq_p - lse.shape[2])))
+    def padded(block_q, block_k):
+        # per-kernel padding: the dq and dkv kernels may use different
+        # blocks (table kinds "bwd_dq"/"bwd_dkv"); pads are no-ops when the
+        # blocks divide the sequence (the tuned case) and XLA elides them
+        nq_p = _pad_to(nq, block_q)
+        nk_p = _pad_to(nk, block_k)
+        qr = jnp.pad(q.reshape(bh, nq, d), ((0, 0), (0, nq_p - nq), (0, 0)))
+        kr = jnp.pad(k.reshape(bh, nk, d), ((0, 0), (0, nk_p - nk), (0, 0)))
+        vr = jnp.pad(v.reshape(bh, nk, d), ((0, 0), (0, nk_p - nk), (0, 0)))
+        dor = jnp.pad(do.reshape(bh, nq, d), ((0, 0), (0, nq_p - nq), (0, 0)))
+        delta = jnp.pad(delta0, ((0, 0), (0, nq_p - nq)))
+        delta = jnp.broadcast_to(delta[:, None, :], (bh, 8, nq_p))
+        # lse is (BH, 8, nq) sublane-broadcast in this layout; padded q
+        # columns keep lse=0 (finite; their contributions are zero)
+        lse_p = jnp.pad(lse, ((0, 0), (0, 0), (0, nq_p - lse.shape[2])))
+        return nq_p, nk_p, qr, kr, vr, dor, lse_p, delta
 
-    grid_dq = (b * h, nq_p // block_q, nk_p // block_k)
+    block_q, block_k = _block_sizes(nq, nk, "bwd_dq", bh)
+    nq_p, nk_p, qr, kr, vr, dor, lse_p, delta = padded(block_q, block_k)
+    grid_dq = (bh, nq_p // block_q, nk_p // block_k)
     dq_t = pl.pallas_call(
         functools.partial(_bwd_dq_kernel_t, scale=scale, kv_len=nk,
                           block_k=block_k, masked=nk_p > nk),
@@ -468,13 +491,16 @@ def _flash_backward_t(q, k, v, o, lse, do, scale):
             pl.BlockSpec((1, 8, block_q), lambda i, j, kb: (i, 0, j)),
         ],
         out_specs=pl.BlockSpec((1, d, block_q), lambda i, j, kb: (i, 0, j)),
-        out_shape=jax.ShapeDtypeStruct((b * h, d, nq_p), dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, d, nq_p), dtype),
         scratch_shapes=[pltpu.VMEM((d, block_q), jnp.float32)],
         interpret=_INTERPRET,
         compiler_params=_CPARAMS,
     )(qr, kr, vr, dor, lse_p, delta)
+    dq = dq_t.transpose(0, 2, 1)[:, :nq, :].reshape(b, h, nq, d)
 
-    grid_dkv = (b * h, nk_p // block_k, nq_p // block_q)
+    block_q, block_k = _block_sizes(nq, nk, "bwd_dkv", bh)
+    nq_p, nk_p, qr, kr, vr, dor, lse_p, delta = padded(block_q, block_k)
+    grid_dkv = (bh, nk_p // block_k, nq_p // block_q)
     dk_t, dv_t = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel_t, scale=scale, kv_len=nk,
                           block_k=block_k, masked=nk_p > nk),
@@ -492,8 +518,8 @@ def _flash_backward_t(q, k, v, o, lse, do, scale):
             pl.BlockSpec((1, d, block_k), lambda i, kb, j: (i, 0, kb)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, d, nk_p), dtype),
-            jax.ShapeDtypeStruct((b * h, d, nk_p), dtype),
+            jax.ShapeDtypeStruct((bh, d, nk_p), dtype),
+            jax.ShapeDtypeStruct((bh, d, nk_p), dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((d, block_k), jnp.float32),
@@ -503,7 +529,6 @@ def _flash_backward_t(q, k, v, o, lse, do, scale):
         compiler_params=_CPARAMS,
     )(qr, kr, vr, dor, lse_p, delta)
 
-    dq = dq_t.transpose(0, 2, 1)[:, :nq, :].reshape(b, h, nq, d)
     dk = dk_t.transpose(0, 2, 1)[:, :nk, :].reshape(b, h, nk, d)
     dv = dv_t.transpose(0, 2, 1)[:, :nk, :].reshape(b, h, nk, d)
     return dq, dk, dv
