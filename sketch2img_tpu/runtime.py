@@ -49,6 +49,15 @@ def _load_state_dict(path_base: str):
     raise FileNotFoundError(f"no checkpoint at {path_base}.(safetensors|bin)")
 
 
+def _load_tokenizer(tok_dir: str):
+    """Native CLIP BPE tokenizer from the checkpoint's tokenizer/ assets
+    (vocab.json + merges.txt) — id-parity with HF's CLIPTokenizer is pinned
+    by tests/test_tokenizer.py; serving needs no transformers install."""
+    from sketch2img_tpu.data.tokenizer import CLIPBPETokenizer
+
+    return CLIPBPETokenizer.from_pretrained(tok_dir)
+
+
 @dataclasses.dataclass
 class SDComponents:
     """Model modules + parameter trees + schedule for SD1.x."""
@@ -95,9 +104,7 @@ class SDComponents:
         tokenizer = None
         tok_dir = os.path.join(model_path, "tokenizer")
         if os.path.isdir(tok_dir):
-            from transformers import CLIPTokenizer
-
-            tokenizer = CLIPTokenizer.from_pretrained(tok_dir)
+            tokenizer = _load_tokenizer(tok_dir)
 
         c = cls(
             unet=UNet2DCondition(unet_config, compute_dtype=compute_dtype),
