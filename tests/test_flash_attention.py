@@ -89,3 +89,27 @@ def test_backend_routing_uses_kernel():
     out_xla = multi_head_attention(q, k, v, 2, backend="xla")
     np.testing.assert_allclose(np.asarray(out_auto), np.asarray(out_xla),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_block_dispatch_table_lookup():
+    """_block_sizes: per-kernel bwd kinds resolve their own entries at the
+    tuned (4096, bh<=8) bucket and fall back to the shared "bwd" entry (then
+    defaults) elsewhere; blocks never exceed the padded sequence."""
+    assert fa._block_sizes(4096, 4096, "fwd", 8) == (4096, 256)
+    assert fa._block_sizes(4096, 4096, "bwd_dq", 8) == (2048, 1024)
+    assert fa._block_sizes(4096, 4096, "bwd_dkv", 8) == (1024, 1024)
+    # bh=16 has no per-kernel split -> shared bwd entry
+    assert fa._block_sizes(4096, 4096, "bwd_dq", 16) == fa._block_sizes(
+        4096, 4096, "bwd", 16)
+    # 9216 bucket: per-kernel kinds fall back to the shared bwd entry
+    assert fa._block_sizes(9216, 9216, "bwd_dkv", 8) == fa._block_sizes(
+        9216, 9216, "bwd", 8)
+    # beyond the largest bucket -> defaults, capped to the padded sequence
+    bq, bk = fa._block_sizes(256, 256, "fwd", 8)
+    assert bq <= 256 and bk <= 256
+    # force_block_sizes overrides everything (bench/sweep hook)
+    fa.force_block_sizes((512, 512))
+    try:
+        assert fa._block_sizes(4096, 4096, "bwd_dq", 8) == (512, 512)
+    finally:
+        fa.force_block_sizes(None)
