@@ -22,6 +22,22 @@ import jax.numpy as jnp
 
 _DEFAULT_BACKEND = "auto"
 
+# Tensor-parallel serving context: (mesh, model_axis_name) or None. When set,
+# the flash path runs inside a shard_map over the model axis so the Pallas
+# kernel (a custom call without a GSPMD partitioning rule) executes on each
+# shard's LOCAL heads — TP shards whole heads (parallel/tp.py), so the
+# per-shard attention is exact with zero collectives.
+_TP_CONTEXT = None
+
+
+def set_tensor_parallel_context(mesh=None, axis_name: str = "model") -> None:
+    """Enable (or clear, with mesh=None) head-sharded flash attention for
+    tensor-parallel serving. ``mesh`` must carry ``axis_name``; attention
+    sites whose head count doesn't divide by the axis size fall back to the
+    replicated path unchanged."""
+    global _TP_CONTEXT
+    _TP_CONTEXT = None if mesh is None else (mesh, axis_name)
+
 
 def set_default_attention_backend(backend: str) -> None:
     global _DEFAULT_BACKEND
@@ -58,6 +74,28 @@ def _xla_attention(
     ).astype(v.dtype)
 
 
+def _tp_flash(qh, kh, vh, scale, mesh, axis):
+    """Flash attention over (B, H, N, D) with H sharded on ``axis``: each
+    device runs the Pallas kernel on its local head slice. Differentiable
+    (shard_map carries the custom_vjp through), so the TP guided path keeps
+    the flash backward too."""
+    from jax.sharding import PartitionSpec as P
+
+    from sketch2img_tpu.ops import flash_attention as fa
+
+    spec = P(None, axis, None, None)
+    f = jax.shard_map(
+        lambda q, k, v: fa.flash_attention(q, k, v, scale, None),
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        # pallas_call's out ShapeDtypeStructs carry no vma annotation; the
+        # kernel is per-shard elementwise-in-heads so the check adds nothing
+        check_vma=False,
+    )
+    return f(qh, kh, vh)
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -81,6 +119,12 @@ def multi_head_attention(
         from sketch2img_tpu.ops import flash_attention as fa
 
         if fa.supported(qh, kh, vh, mask):
+            tp = _TP_CONTEXT
+            if tp is not None:
+                mesh, axis = tp
+                size = mesh.shape[axis]
+                if size > 1 and num_heads % size == 0:
+                    return _merge_heads(_tp_flash(qh, kh, vh, scale, mesh, axis))
             return _merge_heads(fa.flash_attention(qh, kh, vh, scale, mask))
         if backend == "pallas":
             raise ValueError(

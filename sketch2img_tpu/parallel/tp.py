@@ -20,10 +20,13 @@ lays out):
 ``heads`` must divide by the model-axis size at every attention site
 (SD1.5: 8 heads everywhere).
 
-Caveat: the Pallas flash kernels are jit-level custom calls without a
-GSPMD partitioning rule; under a >1 model axis the attention falls back to
-the XLA path (ops.attention picks it on non-TPU backends; on TPU pods a
-shard_map wrapper around the kernel is the planned integration).
+The Pallas flash kernels are jit-level custom calls without a GSPMD
+partitioning rule, so TP serving must opt in via
+``ops.attention.set_tensor_parallel_context(mesh)``: qualifying attention
+sites then run the kernel inside a ``jax.shard_map`` over ``model`` on
+each device's local heads (exact, zero collectives — heads are sharded
+whole). Without the context, attention under a >1 model axis uses the
+XLA path, which GSPMD partitions automatically.
 """
 
 from __future__ import annotations

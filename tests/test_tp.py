@@ -80,3 +80,45 @@ def test_tp_forward_matches_replicated():
     )(params_tp, xs, ts, cs), np.float32)
 
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_tp_flash_shard_map_matches_xla():
+    """With the TP context set, qualifying attention runs the Pallas kernel
+    per-shard over local heads (interpret mode stands in for TPU) and must
+    match the replicated XLA path, forward AND backward."""
+    from sketch2img_tpu.ops import flash_attention as fa
+    from sketch2img_tpu.ops.attention import (
+        multi_head_attention,
+        set_tensor_parallel_context,
+    )
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(k1, (2, 256, 4 * 16))
+    k = jax.random.normal(k2, (2, 256, 4 * 16))
+    v = jax.random.normal(k3, (2, 256, 4 * 16))
+
+    want = multi_head_attention(q, k, v, 4, backend="xla")
+    gw = jax.grad(lambda q: jnp.sum(
+        multi_head_attention(q, k, v, 4, backend="xla") ** 2))(q)
+
+    mesh = make_mesh(jax.devices()[:8], model_parallel=2)
+    fa.set_interpret_mode(True)
+    set_tensor_parallel_context(mesh)
+    try:
+        got = multi_head_attention(q, k, v, 4, backend="pallas")
+        gg = jax.grad(lambda q: jnp.sum(
+            multi_head_attention(q, k, v, 4, backend="pallas") ** 2))(q)
+        # heads not divisible by the axis -> falls back, still correct
+        q3 = q[..., : 3 * 16]; k3_ = k[..., : 3 * 16]; v3 = v[..., : 3 * 16]
+        fb = multi_head_attention(q3, k3_, v3, 3, backend="auto")
+        fb_want = multi_head_attention(q3, k3_, v3, 3, backend="xla")
+    finally:
+        set_tensor_parallel_context(None)
+        fa.set_interpret_mode(False)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gw),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(fb), np.asarray(fb_want),
+                               rtol=2e-3, atol=2e-3)
