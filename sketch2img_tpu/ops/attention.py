@@ -118,7 +118,12 @@ def multi_head_attention(
     if backend in ("pallas", "auto"):
         from sketch2img_tpu.ops import flash_attention as fa
 
-        if fa.supported(qh, kh, vh, mask):
+        use_flash = (
+            fa.supported(qh, kh, vh, mask)
+            if backend == "pallas"
+            else fa.preferred(qh, kh, vh, mask)
+        )
+        if use_flash:
             tp = _TP_CONTEXT
             if tp is not None:
                 mesh, axis = tp
@@ -126,7 +131,7 @@ def multi_head_attention(
                 if size > 1 and num_heads % size == 0:
                     return _merge_heads(_tp_flash(qh, kh, vh, scale, mesh, axis))
             return _merge_heads(fa.flash_attention(qh, kh, vh, scale, mask))
-        if backend == "pallas":
+        if backend == "pallas" and not fa.supported(qh, kh, vh, mask):
             raise ValueError(
                 f"pallas flash attention unsupported for shapes q={q.shape} k={k.shape}"
             )

@@ -72,8 +72,11 @@ def _pad_to(x: int, m: int) -> int:
 
 
 def supported(q, k, v, mask) -> bool:
-    """Gate: attention without additive mask, on a TPU backend, with
-    sequence lengths that tile cleanly."""
+    """CORRECTNESS gate: can the kernel run these shapes at all — attention
+    without additive mask, on a TPU backend, q long enough to tile. Short
+    KV (cross-attention's 77 text tokens) is computed exactly: every kernel
+    masks the internally padded key tail (pinned fwd+bwd by
+    tests/test_flash_attention.py::test_short_kv_cross_attention)."""
     if mask is not None:
         return False
     if not _INTERPRET and jax.default_backend() not in ("tpu", "axon"):
@@ -82,7 +85,19 @@ def supported(q, k, v, mask) -> bool:
     nk = k.shape[2]
     if d > 256:
         return False
-    return nq >= 128 and nk >= 128
+    return nq >= 128 and nk >= 1
+
+
+def preferred(q, k, v, mask) -> bool:
+    """MEASURED dispatch heuristic for the auto backend: flash only where
+    it beats XLA on v5e. Long-KV self-attention is flash's win; for the
+    short-KV cross-attentions XLA is faster everywhere measured — the
+    77-key reduction is one narrow matmul XLA fuses well, while the kernel
+    pays its 128-lane key pad. Isolated d=40 nk=77 A/Bs (one process,
+    interleaved): XLA 465 vs flash 608 us at (16,8,4096); 80 vs 157 us at
+    (2,8,16384); in-model bs2 512px forward 14.49 (xla-cross) vs 14.72 ms
+    (flash-cross)."""
+    return supported(q, k, v, mask) and k.shape[2] >= 128
 
 
 # measured per-kernel block dispatch: (kind, N-bucket, BH-bucket) ->

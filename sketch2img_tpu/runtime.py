@@ -350,13 +350,20 @@ class SketchGuidedPipeline:
         return uncond, cond
 
     def encode_sketch(self, sketch01: np.ndarray, rng: jax.Array) -> jnp.ndarray:
-        """Grayscale sketchpad [0,1] (H,W) or (H,W,1) -> VAE latent target
-        x0.18215 (app.py:106-109: normalize to [-1,1], tile to 3ch, encode)."""
+        """Sketchpad [0,1] -> VAE latent target x0.18215 (app.py:106-109:
+        normalize to [-1,1], tile grayscale to 3ch, encode). Accepts (H,W)
+        or (H,W,1) grayscale — tiled like the reference — or an already-RGB
+        (H,W,3) array, passed through."""
         arr = np.asarray(sketch01, np.float32)
         if arr.ndim == 2:
             arr = arr[:, :, None]
-        arr = (arr - 0.5) / 0.5
-        arr = np.tile(arr, (1, 1, 3))[None]
+        if arr.shape[-1] == 1:
+            arr = np.tile(arr, (1, 1, 3))
+        elif arr.shape[-1] != 3:
+            raise ValueError(
+                f"sketch_image must be (H,W), (H,W,1) or (H,W,3); got {arr.shape}"
+            )
+        arr = ((arr - 0.5) / 0.5)[None]
         mean, logvar = self.c.vae_encode_moments(self.c.vae_params, jnp.asarray(arr))
         noise = jax.random.normal(rng, mean.shape, mean.dtype)
         return sample_latent(mean, logvar, noise)

@@ -113,3 +113,41 @@ def test_block_dispatch_table_lookup():
         assert fa._block_sizes(4096, 4096, "bwd_dq", 8) == (512, 512)
     finally:
         fa.force_block_sizes(None)
+
+
+def test_short_kv_supported_but_not_preferred():
+    """Short KV is a correctness-supported shape (explicit pallas backend
+    works) but the auto backend keeps XLA there — measured faster on v5e
+    (see preferred() docstring)."""
+    q = jnp.zeros((1, 8, 4096, 40))
+    k77 = jnp.zeros((1, 8, 77, 40))
+    v77 = k77
+    assert fa.supported(q, k77, v77, None)
+    assert not fa.preferred(q, k77, v77, None)
+    k4k = jnp.zeros((1, 8, 4096, 40))
+    assert fa.preferred(q, k4k, k4k, None)
+
+
+@pytest.mark.parametrize("nk", [77, 33])
+def test_short_kv_cross_attention(nk):
+    """Cross-attention shapes (nq image tokens, nk=77 text tokens): the
+    padded key tail must be masked exactly, forward and backward."""
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    q = jax.random.normal(k1, (1, 2, 256, 40), jnp.float32)
+    k = jax.random.normal(k2, (1, 2, nk, 40), jnp.float32)
+    v = jax.random.normal(k3, (1, 2, nk, 40), jnp.float32)
+    scale = 40 ** -0.5
+    assert fa.supported(q, k, v, None)
+
+    out = fa.flash_attention(q, k, v, scale)
+    want = fa._xla_reference(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+    gf = jax.grad(lambda q, k, v: jnp.sum(
+        fa.flash_attention(q, k, v, scale) ** 2), argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda q, k, v: jnp.sum(
+        fa._xla_reference(q, k, v, scale) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)

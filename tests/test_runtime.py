@@ -71,6 +71,24 @@ def test_sketch_guided_end_to_end(tiny_components):
     assert np.isfinite(img).all()
 
 
+def test_sketch_image_channel_forms(tiny_components):
+    """(H,W), (H,W,1) and RGB (H,W,3) sketches are all accepted; grayscale
+    forms encode identically (the reference tiles its sketchpad to 3ch,
+    app.py:106-109) and an RGB sketch passes through un-tiled."""
+    pipe = SketchGuidedPipeline(tiny_components)
+    rng = jax.random.PRNGKey(0)
+    g2 = np.zeros((128, 128), np.float32)
+    g2[30:90, 60:70] = 1.0
+    l2 = pipe.encode_sketch(g2, rng)
+    l3 = pipe.encode_sketch(g2[:, :, None], rng)
+    np.testing.assert_array_equal(np.asarray(l2), np.asarray(l3))
+    rgb = np.tile(g2[:, :, None], (1, 1, 3))
+    lrgb = pipe.encode_sketch(rgb, rng)
+    np.testing.assert_array_equal(np.asarray(l2), np.asarray(lrgb))
+    with pytest.raises(ValueError):
+        pipe.encode_sketch(np.zeros((128, 128, 4), np.float32), rng)
+
+
 def test_batched_generation_api(tiny_components):
     """Reference batching surface: prompt lists + num_images_per_prompt
     (modules/pipeline.py:47,64-74) -> (B, H, W, 3)."""
