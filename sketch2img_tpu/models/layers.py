@@ -201,17 +201,36 @@ class Downsample(nn.Module):
         )(x)
 
 
+class _UpsampleConv(nn.Module):
+    """Param holder for Upsample's conv (keeps the ``conv/kernel`` checkpoint
+    path of the old repeat+Conv3x3 formulation)."""
+
+    features: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from sketch2img_tpu.ops.subpixel import upsample2x_conv3x3
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(self.compute_dtype)
+        return upsample2x_conv3x3(x, kernel.astype(self.compute_dtype), bias)
+
+
 class Upsample(nn.Module):
-    """Nearest 2x then conv3x3 (diffusers Upsample2D use_conv=True)."""
+    """Nearest 2x then conv3x3 (diffusers Upsample2D use_conv=True), lowered
+    as four subpixel phase convs (ops/subpixel.py) — algebraically exact."""
 
     out_channels: int
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c = x.shape
-        x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-        return Conv3x3(
+        return _UpsampleConv(
             self.out_channels, compute_dtype=self.compute_dtype, name="conv"
         )(x)
 

@@ -1,0 +1,125 @@
+"""Subpixel (phase-decomposed) lowering of nearest-2x-upsample + 3x3 conv.
+
+The reference's up path runs ``F.interpolate(scale=2, mode="nearest")``
+followed by a SAME 3x3 conv (diffusers Upsample2D use_conv=True; consumed at
+/root/reference via the stock UNet/VAE, SURVEY.md D1/D2).  On the upsampled
+grid each output pixel's 3x3 window covers only a 2x2 patch of *source*
+pixels (nearest duplicates rows/cols), so the composite is algebraically
+exact as four phase convs with 2x2 kernels over the source image:
+
+  y[2i+p, 2j+q] = sum_{r,c in {0,1}} K[p,q,r,c] . x[i+roff_p[r], j+coff_q[c]]
+
+with the 3x3 taps folded into the phase kernels:
+
+  rows_0 = {0 -> r0, 1 -> r1, 2 -> r1}   (output row 2i:   taps  i-1, i)
+  rows_1 = {0 -> r0, 1 -> r0, 2 -> r1}   (output row 2i+1: taps  i, i+1)
+
+FLOPs drop from 9*(2H)(2W)*Cin*Cout to 4*4*H*W*Cin*Cout (2.25x) and the
+(2H, 2W, C) nearest-upsampled intermediate is never materialized.  The
+interleave back to (2H, 2W) is one transpose-reshape (depth-to-space).
+
+Used by models.layers.Upsample — covers the three UNet up-path convs (hit
+three times per guided step: primal + jvp + transpose) and the three large
+VAE-decoder upsample convs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_DEFAULT_BACKEND = "auto"
+
+
+def set_default_upsample_backend(backend: str) -> None:
+    """"auto" | "subpixel" | "naive" (nearest-repeat + dispatched conv3x3)."""
+    global _DEFAULT_BACKEND
+    assert backend in ("auto", "subpixel", "naive"), backend
+    _DEFAULT_BACKEND = backend
+
+
+def _phase_kernels(w: jnp.ndarray) -> list[list[jnp.ndarray]]:
+    """Fold the 3x3 kernel into four 2x2 phase kernels.
+
+    K[p][q] has shape (2, 2, Cin, Cout); tap (r, c) multiplies the source
+    pixel at (i + roff_p[r], j + coff_q[c]) with roff_0=(-1,0), roff_1=(0,1).
+
+    The fold stays in the kernel's dtype: an fp32 upcast doubles the derived
+    weight bytes, and inside the sampling while-loop XLA stages the folded
+    tensors into VMEM every iteration — measured at +0.2 ms/step on v5e.
+    """
+    wf = w
+    # index groups: phase 0 -> kernel rows {0} and {1,2}; phase 1 -> {0,1},{2}
+    row0 = [wf[0], wf[1] + wf[2]]          # each (3, Cin, Cout)
+    row1 = [wf[0] + wf[1], wf[2]]
+    out = []
+    for rows in (row0, row1):
+        row_phases = []
+        for cols in ((lambda a: [a[0], a[1] + a[2]]),
+                     (lambda a: [a[0] + a[1], a[2]])):
+            k = jnp.stack(
+                [jnp.stack(cols(r), axis=0) for r in rows], axis=0
+            )  # (2, 2, Cin, Cout)
+            row_phases.append(k.astype(w.dtype))
+        out.append(row_phases)
+    return out
+
+
+_ROFF = ((-1, 0), (0, 1))  # per-phase tap offsets
+
+
+def _phase_conv(xp: jnp.ndarray, k: jnp.ndarray, p: int, q: int,
+                h: int, w_: int) -> jnp.ndarray:
+    """One 2x2 phase conv as an im2col dot (contraction depth 4*Cin)."""
+    b = xp.shape[0]
+    cin, cout = k.shape[2], k.shape[3]
+    cols = [
+        jax.lax.slice(xp, (0, 1 + _ROFF[p][r], 1 + _ROFF[q][c], 0),
+                      (b, 1 + _ROFF[p][r] + h, 1 + _ROFF[q][c] + w_, cin))
+        for r in range(2) for c in range(2)
+    ]
+    patches = jnp.concatenate(cols, axis=-1)  # (B, H, W, 4*Cin)
+    return jax.lax.dot_general(
+        patches, k.reshape(4 * cin, cout),
+        (((3,), (0,)), ((), ())), preferred_element_type=xp.dtype,
+    )
+
+
+def _subpixel(x, w, bias):
+    b, h, w_, cin = x.shape
+    cout = w.shape[-1]
+    ks = _phase_kernels(w)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ph = [_phase_conv(xp, ks[p][q], p, q, h, w_)
+          for p in range(2) for q in range(2)]
+    y = jnp.stack(ph, axis=3).reshape(b, h, w_, 2, 2, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w_, cout)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def _naive(x, w, bias):
+    from sketch2img_tpu.ops.conv2d import conv3x3
+
+    x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    return conv3x3(x, w, bias)
+
+
+def upsample2x_conv3x3(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    bias=None,
+    *,
+    backend: str | None = None,
+) -> jnp.ndarray:
+    """nearest-2x upsample + SAME 3x3 conv on NHWC input, HWIO kernel."""
+    be = backend or _DEFAULT_BACKEND
+    if be == "auto":
+        # The fold turns 9*Cin*Cout kernel values into 16*Cin*Cout phase
+        # values (1.78x weight traffic).  At small source extents the conv is
+        # weight-bound, so the 2.25x MAC saving cannot pay for it: measured
+        # on v5e, the 8x8->16x16 1280ch upsample loses ~20 us while 16x16+
+        # sources win 60-150 us.  Dispatch on the source pixel count.
+        be = "subpixel" if x.shape[1] * x.shape[2] >= 256 else "naive"
+    return {"subpixel": _subpixel, "naive": _naive}[be](x, w, bias)

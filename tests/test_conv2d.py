@@ -91,3 +91,29 @@ def test_module_param_layout_matches_nn_conv():
     got = m.apply(ref, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("pad", [((1, 1), (1, 1)), ((0, 1), (0, 1))])
+@pytest.mark.parametrize("shape", [(2, 16, 16, 32, 64), (1, 8, 8, 16, 16)])
+def test_down2_custom_vjp_matches_xla(pad, shape):
+    """The stride-2 downsample's phase-decomposed dx (auto dispatch) must
+    match XLA conv autodiff — both UNet SAME pad and VAE asymmetric pad."""
+    b, h, w, cin, cout = shape
+    kx, kw = jax.random.split(jax.random.PRNGKey(4))
+    x = jax.random.normal(kx, (b, h, w, cin))
+    wt = jax.random.normal(kw, (3, 3, cin, cout)) * 0.05
+
+    def loss(be):
+        def f(x, wt):
+            y = conv3x3(x, wt, stride=2, padding=pad, backend=be)
+            return jnp.sum(jnp.sin(y)), y
+        (l, y), g = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(x, wt)
+        return y, g
+
+    y_auto, g_auto = loss("auto")
+    y_xla, g_xla = loss("xla")
+    np.testing.assert_allclose(np.asarray(y_auto), np.asarray(y_xla),
+                               rtol=2e-5, atol=2e-5)
+    for ga, gx in zip(g_auto, g_xla):
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gx),
+                                   rtol=3e-5, atol=3e-5)
