@@ -26,6 +26,30 @@ def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (x - mean) / jnp.sqrt(var + eps)
 
 
+class _UpConv(nn.Module):
+    """ConvTranspose2d(k4, s2, p1) with the phase-decomposed lowering
+    (ops/subpixel.py conv_transpose4x4_s2 — 4x fewer MACs than XLA's
+    zero-dilated conv-transpose).  Keeps nn.ConvTranspose's
+    ``transpose_kernel=True`` parameter layout (4, 4, Cout, Cin) so the
+    netG.pth converter (convt_w below) is unchanged."""
+
+    features: int
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from sketch2img_tpu.ops.subpixel import conv_transpose4x4_s2
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (4, 4, self.features, cin),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(self.compute_dtype)
+        return conv_transpose4x4_s2(x, kernel.astype(self.compute_dtype), bias)
+
+
 class UnetSkipBlock(nn.Module):
     """One recursive skip level: x -> [down, submodule, up]; cat skip unless
     outermost (anime2sketch/model.py:35-101)."""
@@ -57,15 +81,8 @@ class UnetSkipBlock(nn.Module):
         if self.submodule is not None:
             h = self.submodule(h)
         h = nn.relu(h)
-        h = nn.ConvTranspose(
-            self.outer_nc,
-            (4, 4),
-            strides=(2, 2),
-            padding=((2, 2), (2, 2)),
-            transpose_kernel=True,
-            use_bias=True,
-            dtype=self.compute_dtype,
-            name="upconv",
+        h = _UpConv(
+            self.outer_nc, compute_dtype=self.compute_dtype, name="upconv"
         )(h)
         if self.outermost:
             return nn.tanh(h)

@@ -71,3 +71,44 @@ def test_upsample_module_uses_subpixel_and_keeps_param_paths():
         variables["params"]["conv"]["bias"], backend="naive")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [(1, 5, 7, 6, 4), (2, 8, 8, 8, 3),
+                                   (1, 1, 1, 4, 2)])
+def test_conv_transpose_phase_decomposition(shape):
+    """conv_transpose4x4_s2 must match nn.ConvTranspose(k4, s2, p1,
+    transpose_kernel=True) — the anime2sketch decoder op — values and
+    gradients."""
+    import flax.linen as nn
+    from sketch2img_tpu.ops.subpixel import conv_transpose4x4_s2
+
+    class M(nn.Module):
+        co: int
+
+        @nn.compact
+        def __call__(self, x):
+            return nn.ConvTranspose(
+                self.co, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
+                transpose_kernel=True, use_bias=True, name="upconv")(x)
+
+    from sketch2img_tpu.ops import subpixel
+
+    b, h, w, ci, co = shape
+    m = M(co)
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, ci))
+    v = m.init(jax.random.PRNGKey(1), x)
+    k, bias = v["params"]["upconv"]["kernel"], v["params"]["upconv"]["bias"]
+    want = m.apply(v, x)
+    for be in ("xla", "phase"):
+        subpixel.set_conv_transpose_backend(be)
+        try:
+            got = conv_transpose4x4_s2(x, k, bias)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-5, atol=2e-5)
+            g_got = jax.grad(lambda x: jnp.sum(jnp.sin(
+                conv_transpose4x4_s2(x, k, bias))))(x)
+            g_want = jax.grad(lambda x: jnp.sum(jnp.sin(m.apply(v, x))))(x)
+            np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                                       rtol=3e-5, atol=3e-5)
+        finally:
+            subpixel.set_conv_transpose_backend("xla")
