@@ -305,14 +305,9 @@ def bench_attn_injected_batch8():
 def _enable_compile_cache():
     import os
 
-    import jax
+    from sketch2img_tpu.utils.compile_cache import enable
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    enable(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
 def main():

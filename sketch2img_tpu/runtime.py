@@ -294,6 +294,9 @@ class SketchGuidedPipeline:
     ``num_images_per_prompt``, ``eta``, ``callback``/``callback_steps``."""
 
     def __init__(self, components: SDComponents):
+        from sketch2img_tpu.utils.compile_cache import enable as _enable_cache
+
+        _enable_cache()  # warm restarts replay the 3-5 min loop compiles
         self.c = components
         self._fns: Dict[Tuple, Any] = {}
         # per-__call__ user progress hook; read through a trampoline so the
