@@ -119,12 +119,16 @@ def test_two_process_dp_step(tmp_path):
         outs.append(out)
         assert p.returncode == 0, out
 
+    import re
+
     results = {}
     for out in outs:
-        line = [l for l in out.splitlines() if l.startswith("RESULT")][-1]
-        parts = dict(kv.split("=") for kv in line.split()[1:])
-        results[int(parts["pid"])] = (float(parts["loss"]),
-                                      float(parts["checksum"]))
+        # regex-extract: under heavy load other threads' writes can merge
+        # into the RESULT line, so a naive split is not robust
+        m = re.search(r"RESULT pid=(\d+) loss=([-\d.einfa]+) "
+                      r"checksum=([-\d.einfa]+)", out)
+        assert m, out
+        results[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
     assert set(results) == {0, 1}, results
     (l0, c0), (l1, c1) = results[0], results[1]
     assert np.isfinite(l0) and l0 == l1, results
