@@ -1,0 +1,181 @@
+"""Production HTTP serving for sketch-guided generation.
+
+The reference's only serving surface is a Gradio demo (app.py:127-227;
+`apps/app.py` here is the parity port).  For deployment, this app exposes
+the same pipeline behind a dependency-free HTTP API (stdlib http.server):
+
+  GET  /healthz              -> {"status": "ok", "warm": true/false}
+  POST /generate             -> PNG bytes (default) or JSON
+
+POST body (JSON):
+  prompt (str or list, required), negative_prompt, num_inference_steps,
+  guidance_scale, width, height, seed, num_images_per_prompt,
+  sketch_png_b64 (base64 PNG/JPEG sketch, optional), response ("png"|"json")
+
+Behavior built for TPU serving:
+  * one warmup generation per --warmup size at startup, so the 3-5 minute
+    jit compile happens before the server accepts traffic (and lands in the
+    persistent compilation cache, utils/compile_cache.py — warm restarts
+    re-serve in seconds);
+  * device work is serialized through one worker lock (a single chip runs
+    one program at a time; concurrent calls only thrash HBM);
+  * shape discipline: requests snap width/height to the demo's 8px grid and
+    reuse the jit cache keyed on (H, W, steps) — runtime._get_fn.
+
+Usage:
+  python -m sketch2img_tpu.apps.serve --model_path /path/to/sd15 \
+      --lgp_path edge_predictor.pt [--host 0.0.0.0] [--port 8000] \
+      [--warmup 512x512x50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+def _png_bytes(img01: np.ndarray) -> bytes:
+    from PIL import Image
+
+    arr = (np.clip(img01, 0.0, 1.0) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def _decode_sketch(b64: str) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(base64.b64decode(b64)))
+    return np.asarray(img, np.float32) / 255.0
+
+
+def _snap(v, lo=64, hi=1024, step=8) -> int:
+    return max(lo, min(hi, (int(v) // step) * step))
+
+
+class GenerateHandler(BaseHTTPRequestHandler):
+    """Class attributes ``pipe`` (SketchGuidedPipeline), ``lock``, ``state``
+    are installed by make_server()."""
+
+    pipe = None
+    lock: threading.Lock = None
+    state: dict = None
+
+    def log_message(self, fmt, *args):  # quiet by default
+        pass
+
+    def _json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            self._json(200, {"status": "ok", "warm": self.state["warm"]})
+        else:
+            self._json(404, {"error": "unknown path"})
+
+    def do_POST(self):
+        if self.path != "/generate":
+            return self._json(404, {"error": "unknown path"})
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(n) or b"{}")
+            prompt = req["prompt"]
+        except (KeyError, ValueError, json.JSONDecodeError) as e:
+            return self._json(400, {"error": f"bad request: {e}"})
+
+        try:
+            sketch = (_decode_sketch(req["sketch_png_b64"])
+                      if req.get("sketch_png_b64") else None)
+            with self.lock:
+                imgs = self.pipe(
+                    prompt,
+                    negative_prompt=req.get("negative_prompt", ""),
+                    num_inference_steps=int(req.get("num_inference_steps", 50)),
+                    guidance_scale=float(req.get("guidance_scale", 7.5)),
+                    width=_snap(req.get("width", 512)),
+                    height=_snap(req.get("height", 512)),
+                    seed=int(req.get("seed", 0)),
+                    num_images_per_prompt=int(
+                        req.get("num_images_per_prompt", 1)),
+                    sketch_image=sketch,
+                )
+        except Exception as e:  # surface the error to the client, keep serving
+            return self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+        imgs = np.asarray(imgs)
+        if imgs.ndim == 3:
+            imgs = imgs[None]
+        if req.get("response", "png") == "json":
+            return self._json(200, {
+                "images": [base64.b64encode(_png_bytes(i)).decode()
+                           for i in imgs],
+                "nsfw": (list(map(bool, self.pipe.last_nsfw_flags))
+                         if self.pipe.last_nsfw_flags is not None else None),
+            })
+        body = _png_bytes(imgs[0])
+        self.send_response(200)
+        self.send_header("Content-Type", "image/png")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+
+def make_server(pipe, host: str = "127.0.0.1", port: int = 8000):
+    """Build (but don't start) the HTTP server around a pipeline. The
+    handler serializes device work through one lock."""
+    handler = type("Handler", (GenerateHandler,), {
+        "pipe": pipe,
+        "lock": threading.Lock(),
+        "state": {"warm": False},
+    })
+    server = ThreadingHTTPServer((host, port), handler)
+    server.handler_class = handler
+    return server
+
+
+def warmup(server, sizes) -> None:
+    """Compile each (width, height, steps) before taking traffic."""
+    h = server.handler_class
+    for (w, ht, steps) in sizes:
+        h.pipe("warmup", num_inference_steps=steps, width=w, height=ht, seed=1)
+    h.state["warm"] = True
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_path", required=True)
+    ap.add_argument("--lgp_path", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--warmup", default="512x512x50",
+                    help="comma-separated WxHxSTEPS list; empty to skip")
+    args = ap.parse_args()
+
+    from sketch2img_tpu.apps.app import build_pipeline
+
+    pipe = build_pipeline(args.model_path, args.lgp_path)
+    server = make_server(pipe, args.host, args.port)
+    sizes = []
+    for part in filter(None, args.warmup.split(",")):
+        w, h, s = (int(x) for x in part.split("x"))
+        sizes.append((w, h, s))
+    print(f"warming up {sizes} ...", flush=True)
+    warmup(server, sizes)
+    print(f"serving on http://{args.host}:{args.port}", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""HTTP serving app end-to-end on the tiny stack: healthz, PNG and JSON
+generation, sketch conditioning, error handling."""
+
+import base64
+import http.client
+import io
+import json
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sketch2img_tpu.apps.serve import make_server, warmup
+from sketch2img_tpu.models.clip_text import CLIPTextConfig
+from sketch2img_tpu.models.lgp import LatentEdgePredictor
+from sketch2img_tpu.models.unet import UNetConfig
+from sketch2img_tpu.models.vae import VAEConfig
+from sketch2img_tpu.runtime import SDComponents, SketchGuidedPipeline
+
+from fakes import FakeTokenizer
+
+TAP_CH = 480
+
+
+@pytest.fixture(scope="module")
+def server():
+    c = SDComponents.random_init(
+        compute_dtype=jnp.float32,
+        unet_config=UNetConfig(block_out_channels=(32, 32, 64, 64),
+                               cross_attn=(True, True, True, False),
+                               num_heads=2, cross_attention_dim=32),
+        vae_config=VAEConfig(block_out_channels=(32, 64)),
+        text_config=CLIPTextConfig(vocab_size=100, hidden_size=32,
+                                   intermediate_size=64, num_layers=2,
+                                   num_heads=4),
+        random_weights=True,
+    )
+    c.tokenizer = FakeTokenizer()
+    lgp = LatentEdgePredictor(input_dim=TAP_CH + 4 + 36, output_dim=4,
+                              num_layers=9)
+    c.lgp = lgp
+    c.lgp_vars = lgp.init(jax.random.PRNGKey(3),
+                          jnp.zeros((1, 4, 4, TAP_CH)), jnp.zeros((1, 4, 4, 4)),
+                          train=False)
+    srv = make_server(SketchGuidedPipeline(c), "127.0.0.1", 0)
+    warmup(srv, [(128, 128, 2)])
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def _request(server, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1", server.server_port,
+                                      timeout=600)
+    conn.request(method, path,
+                 body=json.dumps(body) if body is not None else None)
+    resp = conn.getresponse()
+    data = resp.read()
+    conn.close()
+    return resp, data
+
+
+def test_healthz_reports_warm(server):
+    resp, data = _request(server, "GET", "/healthz")
+    assert resp.status == 200
+    assert json.loads(data) == {"status": "ok", "warm": True}
+
+
+def test_generate_png(server):
+    resp, data = _request(server, "POST", "/generate", {
+        "prompt": "a cat", "num_inference_steps": 2,
+        "width": 128, "height": 128, "seed": 5,
+    })
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "image/png"
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    from PIL import Image
+
+    img = np.asarray(Image.open(io.BytesIO(data)))
+    assert img.shape == (128, 128, 3)
+
+
+def test_generate_json_with_sketch_and_batch(server):
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((128, 128), 255, np.uint8)).save(buf, format="PNG")
+    resp, data = _request(server, "POST", "/generate", {
+        "prompt": ["a cat", "a dog"], "num_inference_steps": 3,
+        "width": 128, "height": 128, "seed": 7, "response": "json",
+        "sketch_png_b64": base64.b64encode(buf.getvalue()).decode(),
+    })
+    assert resp.status == 200
+    out = json.loads(data)
+    assert len(out["images"]) == 2
+    png0 = base64.b64decode(out["images"][0])
+    assert png0[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_bad_request_and_unknown_path(server):
+    resp, _ = _request(server, "POST", "/generate", {"steps": 2})
+    assert resp.status == 400
+    resp, _ = _request(server, "GET", "/nope")
+    assert resp.status == 404
