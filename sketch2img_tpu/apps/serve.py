@@ -106,7 +106,9 @@ class GenerateHandler(BaseHTTPRequestHandler):
                     guidance_scale=float(req.get("guidance_scale", 7.5)),
                     width=_snap(req.get("width", 512)),
                     height=_snap(req.get("height", 512)),
-                    seed=int(req.get("seed", 0)),
+                    seed=(list(map(int, req["seed"]))
+                          if isinstance(req.get("seed"), list)
+                          else int(req.get("seed", 0))),
                     num_images_per_prompt=int(
                         req.get("num_images_per_prompt", 1)),
                     sketch_image=sketch,

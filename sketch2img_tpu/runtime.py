@@ -425,17 +425,39 @@ class SketchGuidedPipeline:
         steps with the host-fetched (B, h, w, 4) latents (pipeline.py:34-35).
         One sketch image conditions the whole batch (the demo surface has a
         single sketchpad, app.py:104-109).
+
+        ``seed`` may be a list of one seed per batch image (serving
+        extension): image i's initial noise is a function of seed[i] alone,
+        so ``pipe(ps, seed=[a, b])[0] == pipe(ps[:1], seed=[a])[0]`` —
+        batch composition doesn't change per-image results.
         """
         del eta  # parity-only (see docstring)
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
         batch = len(prompts) * num_images_per_prompt
         single = isinstance(prompt, str) and num_images_per_prompt == 1
 
-        key = jax.random.PRNGKey(seed if seed != 0 else np.random.randint(2**31 - 1))
-        k_lat, k_sketch = jax.random.split(key)
         f = self.c.vae_scale_factor
         h, w = height // f, width // f
-        latents0 = jax.random.normal(k_lat, (batch, h, w, 4), jnp.float32)
+        if isinstance(seed, (list, tuple)):
+            # per-image seeds (serving extension beyond the reference's one
+            # generator): each image's initial noise depends only on its own
+            # seed, so batched requests reproduce single-image results
+            if len(seed) != batch:
+                raise ValueError(
+                    f"got {len(seed)} seeds for a batch of {batch}")
+            keys = [jax.random.PRNGKey(s if s != 0
+                                       else np.random.randint(2**31 - 1))
+                    for s in seed]
+            pairs = [jax.random.split(k) for k in keys]
+            latents0 = jnp.stack([
+                jax.random.normal(kl, (h, w, 4), jnp.float32)
+                for kl, _ in pairs])
+            k_sketch = pairs[0][1]
+        else:
+            key = jax.random.PRNGKey(
+                seed if seed != 0 else np.random.randint(2**31 - 1))
+            k_lat, k_sketch = jax.random.split(key)
+            latents0 = jax.random.normal(k_lat, (batch, h, w, 4), jnp.float32)
         uncond, cond = self.encode_prompt(
             prompt, negative_prompt, num_images_per_prompt
         )

@@ -212,3 +212,17 @@ def test_apps_importable():
     import sketch2img_tpu.apps.pic2sketch  # noqa: F401
     import sketch2img_tpu.apps.train_attn_inject  # noqa: F401
     import sketch2img_tpu.apps.train_lgp  # noqa: F401
+
+
+def test_per_image_seeds_are_batch_invariant(tiny_components):
+    """Serving extension: seed lists make image i depend only on seed[i]."""
+    pipe = SketchGuidedPipeline(tiny_components)
+    both = pipe(["a", "b"], num_inference_steps=2, width=128, height=128,
+                seed=[11, 22])
+    solo = pipe(["b"], num_inference_steps=2, width=128, height=128,
+                seed=[22])
+    np.testing.assert_allclose(np.asarray(both[1]), np.asarray(solo[0]),
+                               rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError):
+        pipe(["a", "b"], num_inference_steps=2, width=128, height=128,
+             seed=[1])
