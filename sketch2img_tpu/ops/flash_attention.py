@@ -117,6 +117,13 @@ def preferred(q, k, v, mask) -> bool:
 _BLOCK_TABLE: dict = {
     ("fwd", 4096, 8): (4096, 256),     # 394us dev @ (8, 4096, 40)
     ("fwd", 4096, 16): (4096, 256),    # 787us dev @ (16, 4096, 40)
+    # clip-injection self-attention over [4096 image; 257 CLIP] tokens
+    # (nq=4096, nk=4353): swept at BH=128 (batch-8 CFG-doubled serving,
+    # /tmp sweep): (4096,128) 8.12ms vs (4096,256) 8.61 vs the 9216-bucket
+    # (1024,1024) it previously fell into, 10.61ms. Small block_k keeps the
+    # padded tail (4353 -> 4480) minimal.
+    ("fwd", 4608, 8): (4096, 128),
+    ("fwd", 4608, 16): (4096, 128),
     ("fwd", 9216, 8): (1024, 1024),    # 2.30ms @ (8, 9216, 40) — 768px
     ("fwd", 9216, 16): (1024, 1024),
     ("fwd", 16384, 8): (2048, 512),    # 6.72ms @ (8, 16384, 40) — 1024px

@@ -101,6 +101,8 @@ def test_block_dispatch_table_lookup():
     # bh=16 has no per-kernel split -> shared bwd entry
     assert fa._block_sizes(4096, 4096, "bwd_dq", 16) == fa._block_sizes(
         4096, 4096, "bwd", 16)
+    # clip-injection shape lands in the 4608 bucket, not 9216
+    assert fa._block_sizes(4096, 4353, "fwd", 128) == (4096, 128)
     # 9216 bucket: per-kernel kinds fall back to the shared bwd entry
     assert fa._block_sizes(9216, 9216, "bwd_dkv", 8) == fa._block_sizes(
         9216, 9216, "bwd", 8)
