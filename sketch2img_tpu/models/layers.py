@@ -255,13 +255,14 @@ class CrossAttention(nn.Module):
         x: jnp.ndarray,
         context: Optional[jnp.ndarray] = None,
         mask: Optional[jnp.ndarray] = None,
+        kv_len: Optional[int] = None,
     ) -> jnp.ndarray:
         inner = self.heads * self.dim_head
         ctx = x if context is None else context
         q = nn.Dense(inner, use_bias=False, dtype=self.compute_dtype, name="to_q")(x)
         k = nn.Dense(inner, use_bias=False, dtype=self.compute_dtype, name="to_k")(ctx)
         v = nn.Dense(inner, use_bias=False, dtype=self.compute_dtype, name="to_v")(ctx)
-        out = multi_head_attention(q, k, v, self.heads, mask=mask)
+        out = multi_head_attention(q, k, v, self.heads, mask=mask, kv_len=kv_len)
         return nn.Dense(self.query_dim, dtype=self.compute_dtype, name="to_out")(out)
 
 

@@ -74,7 +74,7 @@ def _xla_attention(
     ).astype(v.dtype)
 
 
-def _tp_flash(qh, kh, vh, scale, mesh, axis):
+def _tp_flash(qh, kh, vh, scale, mesh, axis, kv_len=None):
     """Flash attention over (B, H, N, D) with H sharded on ``axis``: each
     device runs the Pallas kernel on its local head slice. Differentiable
     (shard_map carries the custom_vjp through), so the TP guided path keeps
@@ -85,7 +85,7 @@ def _tp_flash(qh, kh, vh, scale, mesh, axis):
 
     spec = P(None, axis, None, None)
     f = jax.shard_map(
-        lambda q, k, v: fa.flash_attention(q, k, v, scale, None),
+        lambda q, k, v: fa.flash_attention(q, k, v, scale, None, kv_len),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
@@ -104,16 +104,21 @@ def multi_head_attention(
     *,
     mask: Optional[jnp.ndarray] = None,
     backend: Optional[str] = None,
+    kv_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Attention over already-projected q/k/v of shape (B, N, H*D).
 
     Returns (B, Nq, H*D). `mask` is an additive bias broadcastable to
-    (B, H, Nq, Nk).
+    (B, H, Nq, Nk). ``kv_len``: true key count when k/v carry a padded
+    tail (pre-padding keys to a block multiple lets the flash path skip
+    its HBM pad copies; tail keys are masked out exactly).
     """
     backend = backend or _DEFAULT_BACKEND
     d = q.shape[-1] // num_heads
     scale = d**-0.5
     qh, kh, vh = (_split_heads(x, num_heads) for x in (q, k, v))
+    if kv_len is not None and kv_len >= k.shape[1]:
+        kv_len = None  # no padded tail
 
     if backend in ("pallas", "auto"):
         from sketch2img_tpu.ops import flash_attention as fa
@@ -129,10 +134,17 @@ def multi_head_attention(
                 mesh, axis = tp
                 size = mesh.shape[axis]
                 if size > 1 and num_heads % size == 0:
-                    return _merge_heads(_tp_flash(qh, kh, vh, scale, mesh, axis))
-            return _merge_heads(fa.flash_attention(qh, kh, vh, scale, mask))
+                    return _merge_heads(
+                        _tp_flash(qh, kh, vh, scale, mesh, axis, kv_len))
+            return _merge_heads(
+                fa.flash_attention(qh, kh, vh, scale, mask, kv_len))
         if backend == "pallas" and not fa.supported(qh, kh, vh, mask):
             raise ValueError(
                 f"pallas flash attention unsupported for shapes q={q.shape} k={k.shape}"
             )
+    if kv_len is not None:
+        tail = jnp.where(
+            jnp.arange(k.shape[1]) < kv_len, 0.0, -1e30
+        ).reshape(1, 1, 1, k.shape[1])
+        mask = tail if mask is None else mask + tail
     return _merge_heads(_xla_attention(qh, kh, vh, scale, mask))

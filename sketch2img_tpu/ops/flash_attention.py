@@ -220,9 +220,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *,
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-def _flash_forward(q, k, v, scale):
+def _flash_forward(q, k, v, scale, kv_len=None):
     b, h, nq, d = q.shape
     nk = k.shape[2]
+    kv_len = nk if kv_len is None else kv_len
     dtype = q.dtype
 
     # keep the native head dim: a block whose minor dim equals the array's
@@ -240,8 +241,8 @@ def _flash_forward(q, k, v, scale):
     grid = (b * h, nq_p // block_q, nk_p // block_k)
 
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_len=nk, block_k=block_k,
-                          masked=nk_p > nk),
+        functools.partial(_fwd_kernel, scale=scale, kv_len=kv_len,
+                          block_k=block_k, masked=nk_p > kv_len),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, dp), lambda i, j, kb: (i, j, 0)),
@@ -337,9 +338,10 @@ def _fwd_kernel_t(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])  # (8, BQ)
 
 
-def _flash_forward_t(q, k, v, scale):
+def _flash_forward_t(q, k, v, scale, kv_len=None):
     b, h, nq, d = q.shape
     nk = k.shape[2]
+    kv_len = nk if kv_len is None else kv_len
     dtype = q.dtype
 
     block_q, block_k = _block_sizes(nq, nk, "fwd", b * h)
@@ -353,8 +355,8 @@ def _flash_forward_t(q, k, v, scale):
     grid = (b * h, nq_p // block_q, nk_p // block_k)
 
     out_t, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel_t, scale=scale, kv_len=nk,
-                          block_k=block_k, masked=nk_p > nk),
+        functools.partial(_fwd_kernel_t, scale=scale, kv_len=kv_len,
+                          block_k=block_k, masked=nk_p > kv_len),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
@@ -471,9 +473,10 @@ def _bwd_dkv_kernel_t(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_backward_t(q, k, v, o, lse, do, scale):
+def _flash_backward_t(q, k, v, o, lse, do, scale, kv_len=None):
     b, h, nq, d = q.shape
     nk = k.shape[2]
+    kv_len = nk if kv_len is None else kv_len
     dtype = q.dtype
     bh = b * h
 
@@ -501,8 +504,8 @@ def _flash_backward_t(q, k, v, o, lse, do, scale):
     nq_p, nk_p, qr, kr, vr, dor, lse_p, delta = padded(block_q, block_k)
     grid_dq = (bh, nq_p // block_q, nk_p // block_k)
     dq_t = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel_t, scale=scale, kv_len=nk,
-                          block_k=block_k, masked=nk_p > nk),
+        functools.partial(_bwd_dq_kernel_t, scale=scale, kv_len=kv_len,
+                          block_k=block_k, masked=nk_p > kv_len),
         grid=grid_dq,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0)),
@@ -524,8 +527,8 @@ def _flash_backward_t(q, k, v, o, lse, do, scale):
     nq_p, nk_p, qr, kr, vr, dor, lse_p, delta = padded(block_q, block_k)
     grid_dkv = (bh, nk_p // block_k, nq_p // block_q)
     dk_t, dv_t = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel_t, scale=scale, kv_len=nk,
-                          block_k=block_k, masked=nk_p > nk),
+        functools.partial(_bwd_dkv_kernel_t, scale=scale, kv_len=kv_len,
+                          block_k=block_k, masked=nk_p > kv_len),
         grid=grid_dkv,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda i, kb, j: (i, j, 0)),
@@ -648,9 +651,10 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_backward(q, k, v, o, lse, do, scale):
+def _flash_backward(q, k, v, o, lse, do, scale, kv_len=None):
     b, h, nq, d = q.shape
     nk = k.shape[2]
+    kv_len = nk if kv_len is None else kv_len
     dtype = q.dtype
 
     dp_ = d  # native head dim (see _flash_forward)
@@ -673,8 +677,8 @@ def _flash_backward(q, k, v, o, lse, do, scale):
 
     grid_dq = (b * h, nq_p // block_q, nk_p // block_k)
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=nk,
-                          block_k=block_k, masked=nk_p > nk),
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=kv_len,
+                          block_k=block_k, masked=nk_p > kv_len),
         grid=grid_dq,
         in_specs=[
             pl.BlockSpec((1, block_q, dp_), lambda i, j, kb: (i, j, 0)),
@@ -693,8 +697,8 @@ def _flash_backward(q, k, v, o, lse, do, scale):
 
     grid_dkv = (b * h, nk_p // block_k, nq_p // block_q)
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=nk,
-                          block_k=block_k, masked=nk_p > nk),
+        functools.partial(_bwd_dkv_kernel, scale=scale, kv_len=kv_len,
+                          block_k=block_k, masked=nk_p > kv_len),
         grid=grid_dkv,
         in_specs=[
             pl.BlockSpec((1, block_q, dp_), lambda i, kb, j: (i, j, 0)),
@@ -755,22 +759,22 @@ def _pick_backward(d: int):
     return _flash_backward_t if (_TRANSPOSED and _use_transposed(d)) else _flash_backward
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash(q, k, v, scale):
-    out, _ = _pick_forward(q.shape[-1])(q, k, v, scale)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, scale, kv_len=None):
+    out, _ = _pick_forward(q.shape[-1])(q, k, v, scale, kv_len)
     return out
 
 
-def _flash_fwd_rule(q, k, v, scale):
-    out, lse = _pick_forward(q.shape[-1])(q, k, v, scale)
+def _flash_fwd_rule(q, k, v, scale, kv_len=None):
+    out, lse = _pick_forward(q.shape[-1])(q, k, v, scale, kv_len)
     return out, (q, k, v, out, lse)
 
 
-def _flash_bwd_rule(scale, res, g):
+def _flash_bwd_rule(scale, kv_len, res, g):
     # the lse layout differs between the variants; _pick_backward's choice is
     # a pure function of d (+ the module flag), matching _pick_forward's
     q, k, v, o, lse = res
-    return _pick_backward(q.shape[-1])(q, k, v, o, lse, g, scale)
+    return _pick_backward(q.shape[-1])(q, k, v, o, lse, g, scale, kv_len)
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
@@ -782,7 +786,12 @@ def flash_attention(
     v: jnp.ndarray,
     scale: float,
     mask: Optional[jnp.ndarray] = None,
+    kv_len: Optional[int] = None,
 ) -> jnp.ndarray:
-    """q,k,v: (B, H, N, D). Returns (B, H, Nq, D)."""
+    """q,k,v: (B, H, N, D). Returns (B, H, Nq, D).
+
+    ``kv_len``: true key count when k/v carry a padded tail (callers that
+    pre-pad keys to a block multiple skip the wrapper's HBM pad copies;
+    keys at index >= kv_len are masked out exactly, fwd and bwd)."""
     assert mask is None, "use the xla backend for masked attention"
-    return _flash(q, k, v, scale)
+    return _flash(q, k, v, scale, kv_len)

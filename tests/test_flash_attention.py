@@ -153,3 +153,55 @@ def test_short_kv_cross_attention(nk):
     for a, b_ in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-3, atol=2e-3)
+
+
+def test_kv_len_masks_padded_tail_fwd_bwd():
+    """Pre-padded keys + kv_len must equal attention over the unpadded keys
+    (the clip-injection path pads [4096 image; 257 CLIP] keys to a 128
+    multiple so the kernel skips its HBM pad copies) — values and grads,
+    flash (interpret) and the xla fallback."""
+    import numpy as np
+
+    from sketch2img_tpu.ops import attention as attn
+
+    b, h, nq, nk, d = 1, 2, 256, 300, 40
+    pad = -nk % 128
+    key = jax.random.PRNGKey(0)
+    kq, kk, kv, kg = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, nq, h * d))
+    k = jax.random.normal(kk, (b, nk, h * d))
+    v = jax.random.normal(kv, (b, nk, h * d))
+    garbage = 37.0 + jax.random.normal(kg, (b, pad, h * d))
+    kp = jnp.concatenate([k, garbage], axis=1)
+    vp = jnp.concatenate([v, garbage], axis=1)
+
+    def f(be, padded):
+        def loss(q, k, v):
+            out = attn.multi_head_attention(
+                q, k, v, h, backend=be,
+                kv_len=nk if padded else None)
+            return jnp.sum(jnp.sin(out)), out
+        (l, out), g = jax.value_and_grad(loss, argnums=(0, 1, 2),
+                                         has_aux=True)(q, kp if padded else k,
+                                                       vp if padded else v)
+        return out, g
+
+    want, gwant = f("xla", False)
+    for be in ("xla", "pallas"):
+        if be == "pallas":
+            fa.set_interpret_mode(True)
+        try:
+            got, ggot = f(be, True)
+        finally:
+            fa.set_interpret_mode(False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+        # dq matches; dk/dv match on the true rows, zero on the pad tail
+        np.testing.assert_allclose(np.asarray(ggot[0]), np.asarray(gwant[0]),
+                                   rtol=3e-5, atol=3e-5)
+        for gi in (1, 2):
+            np.testing.assert_allclose(np.asarray(ggot[gi][:, :nk]),
+                                       np.asarray(gwant[gi]),
+                                       rtol=3e-5, atol=3e-5)
+            np.testing.assert_allclose(np.asarray(ggot[gi][:, nk:]), 0.0,
+                                       atol=1e-6)
