@@ -135,6 +135,11 @@ _BLOCK_TABLE: dict = {
     # 1024x1024 vs 600 shared). Other buckets fall back to "bwd".
     ("bwd_dq", 4096, 8): (2048, 1024),
     ("bwd_dkv", 4096, 8): (1024, 1024),
+    # clip-injection bwd (train_attn_inject differentiates through the
+    # [image; CLIP] attention): fwd+bwd chain at (32, 4096/4480, 40) with
+    # kv_len=4353 — (4096,128) 3.74ms vs the 9216-bucket (1024,1024) 4.93ms
+    ("bwd", 4608, 8): (4096, 128),
+    ("bwd", 4608, 16): (4096, 128),
     ("bwd", 9216, 8): (1024, 1024),    # 4.30ms
     ("bwd", 9216, 16): (1024, 1024),
     ("bwd", 16384, 8): (2048, 1024),   # 13.8ms
