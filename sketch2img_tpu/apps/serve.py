@@ -9,7 +9,8 @@ the same pipeline behind a dependency-free HTTP API (stdlib http.server):
 
 POST body (JSON):
   prompt (str or list, required), negative_prompt, num_inference_steps,
-  guidance_scale, width, height, seed, num_images_per_prompt,
+  guidance_scale, width, height, seed (int or per-image list),
+  num_images_per_prompt, solver ("dpm++"|"ddim"),
   sketch_png_b64 (base64 PNG/JPEG sketch, optional), response ("png"|"json")
 
 Behavior built for TPU serving:
@@ -112,6 +113,7 @@ class GenerateHandler(BaseHTTPRequestHandler):
                     num_images_per_prompt=int(
                         req.get("num_images_per_prompt", 1)),
                     sketch_image=sketch,
+                    solver=req.get("solver", "dpm++"),
                 )
         except Exception as e:  # surface the error to the client, keep serving
             return self._json(500, {"error": f"{type(e).__name__}: {e}"})

@@ -284,3 +284,30 @@ def ddim_step(
     so_p = jnp.asarray(plan.sqrt_om_prev)[i].astype(x.dtype)
     x0 = (x - so_t * eps) / sa_t
     return sa_p * x0 + so_p * eps
+
+
+def make_sampler_step(solver: str, schedule: DiffusionSchedule, num_steps: int):
+    """Unified sampler-step factory for the pipelines.
+
+    Returns ``(timesteps, step)`` with ``step(i, x, eps, x0_prev) ->
+    (x_next, x0)`` — the (x, x0_prev) carry shape the sampling loops use.
+    The reference's pipeline runs whatever diffusers scheduler it is
+    constructed with (demo: DPM-Solver++ multistep, app.py:14-25; DDIM used
+    for train-time noising, trainer.py:188-194); here the choice is a
+    compile-time pipeline argument.
+    """
+    if solver in ("dpm++", "dpm-solver++", "dpmsolver++"):
+        plan = plan_dpm_solver(schedule, num_steps)
+
+        def step(i, x, eps, x0_prev):
+            return dpm_solver_step(plan, i, x, eps, x0_prev)
+
+        return plan.timesteps, step
+    if solver == "ddim":
+        plan = plan_ddim(schedule, num_steps)
+
+        def step(i, x, eps, x0_prev):
+            return ddim_step(plan, i, x, eps), x0_prev
+
+        return plan.timesteps, step
+    raise ValueError(f"unknown solver {solver!r}; use 'dpm++' or 'ddim'")

@@ -19,8 +19,7 @@ import jax.numpy as jnp
 
 from sketch2img_tpu.core.schedulers import (
     DiffusionSchedule,
-    plan_dpm_solver,
-    dpm_solver_step,
+    make_sampler_step,
 )
 from sketch2img_tpu.pipelines.text2img import cfg_combine
 
@@ -36,6 +35,7 @@ def make_attn_injected_fn(
     num_steps: int,
     num_injection_sites: int,
     *,
+    solver: str = "dpm++",
     vae_decode: Optional[Callable] = None,
 ) -> Callable:
     """Returns jit-able ``fn(unet_params, latents0, context_pair,
@@ -45,8 +45,8 @@ def make_attn_injected_fn(
     ``states`` is a list (one entry per TransformerBlock); the CLIP variant
     shares one (2B, S, 1024) tensor across all sites.
     """
-    plan = plan_dpm_solver(schedule, num_steps)
-    timesteps = jnp.asarray(plan.timesteps)
+    ts, sampler_step = make_sampler_step(solver, schedule, num_steps)
+    timesteps = jnp.asarray(ts)
 
     def run(unet_params, latents0, context_pair, injection_state,
             injection_scale, guidance_scale):
@@ -60,7 +60,7 @@ def make_attn_injected_fn(
                 unet_params, inp, t, context_pair, states, injection_scale
             )
             eps = cfg_combine(eps_pair, guidance_scale)
-            return dpm_solver_step(plan, i, x, eps, x0_prev)
+            return sampler_step(i, x, eps, x0_prev)
 
         carry = (latents0, jnp.zeros_like(latents0))
         latents, _ = jax.lax.fori_loop(0, num_steps, body, carry)

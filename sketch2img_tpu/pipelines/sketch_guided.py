@@ -33,8 +33,7 @@ import jax.numpy as jnp
 from sketch2img_tpu.core.schedulers import (
     DiffusionSchedule,
     get_noise_level,
-    plan_dpm_solver,
-    dpm_solver_step,
+    make_sampler_step,
 )
 from sketch2img_tpu.models.unet import concat_taps
 from sketch2img_tpu.pipelines.text2img import cfg_combine, emit_callback
@@ -53,6 +52,7 @@ def make_sketch_guided_fn(
     num_steps: int,
     *,
     beta: float = 1.6,
+    solver: str = "dpm++",
     vae_decode: Optional[Callable] = None,
     lgp_apply_fused: Optional[Callable] = None,
     callback: Optional[Callable] = None,
@@ -72,8 +72,8 @@ def make_sketch_guided_fn(
       copy used for the noise-level feature (pipeline.py:75).
     * ``sketch_latent``: (B,h,w,4) VAE-encoded sketch x0.18215 (app.py:109).
     """
-    plan = plan_dpm_solver(schedule, num_steps)
-    timesteps = jnp.asarray(plan.timesteps)
+    ts, sampler_step = make_sampler_step(solver, schedule, num_steps)
+    timesteps = jnp.asarray(ts)
     n_guided = num_guided_steps(num_steps)
 
     def run(unet_params, lgp_vars, latents0, context_uncond, context_cond,
@@ -105,7 +105,7 @@ def make_sketch_guided_fn(
 
             eps_pair = jnp.concatenate([eps_u, eps_t], axis=0)
             eps = cfg_combine(eps_pair, guidance_scale)
-            x_prev, x0 = dpm_solver_step(plan, i, x, eps, x0_prev)
+            x_prev, x0 = sampler_step(i, x, eps, x0_prev)
 
             cond_grad = -g
             # ||cat([x,x]) - x_prev|| == sqrt(2) * ||x - x_prev|| (pipeline.py:160)
@@ -122,7 +122,7 @@ def make_sketch_guided_fn(
             inp = jnp.concatenate([x, x], axis=0)
             ctx = jnp.concatenate([context_uncond, context_cond], axis=0)
             eps = cfg_combine(unet_apply(unet_params, inp, t2, ctx), guidance_scale)
-            x_next, x0 = dpm_solver_step(plan, i, x, eps, x0_prev)
+            x_next, x0 = sampler_step(i, x, eps, x0_prev)
             emit_callback(callback, callback_steps, i, t2, x_next)
             return (x_next, x0)
 

@@ -16,8 +16,7 @@ import jax.numpy as jnp
 
 from sketch2img_tpu.core.schedulers import (
     DiffusionSchedule,
-    plan_dpm_solver,
-    dpm_solver_step,
+    make_sampler_step,
 )
 
 
@@ -59,6 +58,7 @@ def make_text2img_fn(
     schedule: DiffusionSchedule,
     num_steps: int,
     *,
+    solver: str = "dpm++",
     vae_decode: Optional[Callable] = None,
     callback: Optional[Callable] = None,
     callback_steps: int = 1,
@@ -71,8 +71,8 @@ def make_text2img_fn(
     ([uncond; cond], pipeline.py:55-57); ``latents0`` the (B, h, w, 4)
     initial noise (DPM-Solver++ init_noise_sigma == 1).
     """
-    plan = plan_dpm_solver(schedule, num_steps)
-    timesteps = jnp.asarray(plan.timesteps)
+    ts, sampler_step = make_sampler_step(solver, schedule, num_steps)
+    timesteps = jnp.asarray(ts)
 
     def denoise(unet_params, latents0, context_pair, guidance_scale):
         def body(i, carry):
@@ -81,7 +81,7 @@ def make_text2img_fn(
             inp = jnp.concatenate([x, x], axis=0)
             eps_pair = unet_apply(unet_params, inp, t, context_pair)
             eps = cfg_combine(eps_pair, guidance_scale)
-            x, x0 = dpm_solver_step(plan, i, x, eps, x0_prev)
+            x, x0 = sampler_step(i, x, eps, x0_prev)
             emit_callback(callback, callback_steps, i, t, x)
             return (x, x0)
 

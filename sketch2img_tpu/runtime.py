@@ -371,8 +371,9 @@ class SketchGuidedPipeline:
         noise = jax.random.normal(rng, mean.shape, mean.dtype)
         return sample_latent(mean, logvar, noise)
 
-    def _get_fn(self, kind: str, steps: int, callback_steps: Optional[int] = None):
-        key = (kind, steps, callback_steps)
+    def _get_fn(self, kind: str, steps: int, callback_steps: Optional[int] = None,
+                solver: str = "dpm++"):
+        key = (kind, steps, callback_steps, solver)
         if key not in self._fns:
             cb = self._trampoline_callback if callback_steps is not None else None
             cb_steps = callback_steps if callback_steps is not None else 1
@@ -388,10 +389,11 @@ class SketchGuidedPipeline:
                 fn = make_sketch_guided_fn(
                     self.c.unet_apply, self.c.unet_apply_taps, self.c.lgp_apply,
                     self.c.schedule, steps, lgp_apply_fused=lgp_fused,
-                    callback=cb, callback_steps=cb_steps,
+                    solver=solver, callback=cb, callback_steps=cb_steps,
                 )
             else:
                 fn = make_text2img_fn(self.c.unet_apply, self.c.schedule, steps,
+                                      solver=solver,
                                       callback=cb, callback_steps=cb_steps)
             self._fns[key] = jax.jit(fn)
         return self._fns[key]
@@ -409,6 +411,7 @@ class SketchGuidedPipeline:
         sketch_image: Optional[np.ndarray] = None,
         num_images_per_prompt: int = 1,
         eta: float = 0.0,
+        solver: str = "dpm++",
         callback=None,
         callback_steps: int = 1,
     ) -> np.ndarray:
@@ -425,6 +428,10 @@ class SketchGuidedPipeline:
         steps with the host-fetched (B, h, w, 4) latents (pipeline.py:34-35).
         One sketch image conditions the whole batch (the demo surface has a
         single sketchpad, app.py:104-109).
+
+        ``solver`` selects the sampler: "dpm++" (DPM-Solver++ 2M, the
+        reference demo's choice, app.py:14-25) or "ddim" (deterministic
+        eta=0 DDIM).
 
         ``seed`` may be a list of one seed per batch image (serving
         extension): image i's initial noise is a function of seed[i] alone,
@@ -468,11 +475,11 @@ class SketchGuidedPipeline:
             if sketch_image is not None:
                 target = self.encode_sketch(sketch_image, k_sketch)
                 target = jnp.broadcast_to(target, (batch,) + target.shape[1:])
-                fn = self._get_fn("sketch", num_inference_steps, cb_key)
+                fn = self._get_fn("sketch", num_inference_steps, cb_key, solver)
                 latents = fn(self.c.unet_params, self.c.lgp_vars, latents0,
                              uncond, cond, target, guidance_scale)
             else:
-                fn = self._get_fn("text", num_inference_steps, cb_key)
+                fn = self._get_fn("text", num_inference_steps, cb_key, solver)
                 latents = fn(self.c.unet_params, latents0,
                              jnp.concatenate([uncond, cond], axis=0), guidance_scale)
         finally:

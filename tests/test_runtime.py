@@ -226,3 +226,17 @@ def test_per_image_seeds_are_batch_invariant(tiny_components):
     with pytest.raises(ValueError):
         pipe(["a", "b"], num_inference_steps=2, width=128, height=128,
              seed=[1])
+
+
+def test_ddim_solver_end_to_end(tiny_components):
+    """Pipeline-level solver choice (reference runs whatever diffusers
+    scheduler it's constructed with; demo default is DPM-Solver++)."""
+    pipe = SketchGuidedPipeline(tiny_components)
+    ddim = pipe("a cat", num_inference_steps=3, width=128, height=128,
+                seed=5, solver="ddim")
+    assert ddim.shape == (128, 128, 3) and np.isfinite(ddim).all()
+    dpm = pipe("a cat", num_inference_steps=3, width=128, height=128, seed=5)
+    assert np.abs(np.asarray(ddim) - np.asarray(dpm)).max() > 1e-6
+    with pytest.raises(ValueError):
+        pipe("a", num_inference_steps=2, width=128, height=128,
+             solver="euler")
