@@ -110,6 +110,28 @@ def main():
     opt_params = {k: v for k, v in config.optimizer.params.items() if k != "lr"}
     tx = make_optimizer(config.optimizer.name, lr, **opt_params)
 
+    # latent cache (train.yaml dataset.cache_latents — dead in the
+    # reference, live here): precompute the VAE moments for every image AND
+    # its anime2sketch sketch once, dropping the GAN + both VAE encodes from
+    # the train step (measured ~80% of the uncached step). Per-step latent
+    # sampling stays stochastic. Skipped under ARB (bucketed resolutions
+    # would need one cache entry per bucket).
+    cache = bool(config.get_path("dataset.cache_latents", False)) and not arb_enabled
+    if cache:
+        from sketch2img_tpu.train.train_lgp import generate_sketch
+
+        enc = jax.jit(lambda px: jnp.concatenate(
+            c.vae_encode_moments(c.vae_params, px), axis=-1))
+
+        def sketch_moments(px):
+            img = generate_sketch(
+                lambda p, im: gan.apply({"params": p}, im), gan_params, px)
+            return jnp.concatenate(
+                c.vae_encode_moments(c.vae_params, img), axis=-1)
+
+        print(f"caching latents for {len(dataset)} images ...", flush=True)
+        dataset.cache_latents(enc, jax.jit(sketch_moments))
+
     step_fn = make_lgp_train_step(
         lambda v, f, nl, train: lgp.apply(v, f, nl, train=train,
                                           mutable=["batch_stats"]),
@@ -118,6 +140,7 @@ def main():
         c.text_apply,
         lambda p, img: gan.apply({"params": p}, img),
         c.schedule, tx,
+        cached_latents=cache,
     )
     state = init_lgp_train_state(lgp_vars, tx)
 

@@ -153,14 +153,21 @@ class ImageStore:
             max_length=self.max_length,
         ).input_ids
 
-    def cache_latents(self, encode_fn) -> None:
+    def cache_latents(self, encode_fn, sketch_fn=None) -> None:
         """Optionally precompute latents: encode_fn(pixels NHWC (1,H,W,3))
-        -> (1,h,w,4) scaled latents (implements the dataset.py:105-112 path
-        the reference never wires up — here it actually works)."""
+        -> (1,h,w,C) — typically the VAE's (mean ‖ logvar) moments so each
+        train step still draws a fresh latent sample (implements the
+        dataset.py:105-112 path the reference never wires up — here it
+        actually works). ``sketch_fn`` (same signature) additionally caches
+        the anime2sketch->VAE sketch moments the LGP trainer needs, removing
+        both the GAN and every VAE encode from the train step."""
         self.use_latent_cache = True
+        self.sketch_cache: Dict[str, np.ndarray] = {}
         for img_path, _ in self.entries:
             px = self.transform(self.read_img(img_path))[None]
             self.latents_cache[img_path] = np.asarray(encode_fn(px))[0]
+            if sketch_fn is not None:
+                self.sketch_cache[img_path] = np.asarray(sketch_fn(px))[0]
 
     # -- batching ---------------------------------------------------------
 
@@ -173,8 +180,17 @@ class ImageStore:
         input_ids = np.full((len(ids), width), pad_id, np.int32)
         for i, r in enumerate(ids):
             input_ids[i, : len(r)] = r[:width]
-        pixels = np.stack([e["images"] for e in examples]).astype(np.float32)
-        return {"input_ids": input_ids, "pixels": pixels}
+        out = {"input_ids": input_ids}
+        if "images" in examples[0]:
+            out["pixels"] = np.stack(
+                [e["images"] for e in examples]).astype(np.float32)
+        if "latent_dist" in examples[0]:
+            out["latent_dist"] = np.stack(
+                [e["latent_dist"] for e in examples]).astype(np.float32)
+        if "sketch_latent_dist" in examples[0]:
+            out["sketch_latent_dist"] = np.stack(
+                [e["sketch_latent_dist"] for e in examples]).astype(np.float32)
+        return out
 
     # -- aspect-ratio bucketing (the reference's dead arb: block, made real) --
 
@@ -237,7 +253,9 @@ class ImageStore:
         path, prompt = self.entries[index % self._length]
         example: Dict[str, Any] = {}
         if self.use_latent_cache:
-            example["images"] = self.latents_cache[path]
+            example["latent_dist"] = self.latents_cache[path]
+            if self.sketch_cache:
+                example["sketch_latent_dist"] = self.sketch_cache[path]
         else:
             example["images"] = self.transform(self.read_img(path))
         if self.ucg and self.rng.random() < self.ucg:

@@ -98,11 +98,17 @@ def make_lgp_train_step(
     tx: optax.GradientTransformation,
     *,
     sketch_fixed_size: int = 1024,
+    cached_latents: bool = False,
 ) -> Callable:
     """Returns ``step_fn(state, frozen, batch, rng) -> (state, metrics)``.
 
     * ``frozen`` = dict(unet=..., vae=..., text=..., gan=...) params
-    * ``batch`` = dict(input_ids=(B,L) int32 eos-padded, pixels=(B,H,W,3))
+    * ``batch`` = dict(input_ids=(B,L) int32 eos-padded, pixels=(B,H,W,3));
+      with ``cached_latents=True`` the pixels are replaced by precomputed
+      VAE moments ``latent_dist``/``sketch_latent_dist`` ((B,h,w,8) =
+      mean ‖ logvar, ImageStore.cache_latents) — the GAN and both VAE
+      encodes drop out of the step while per-step latent SAMPLING stays
+      stochastic, so the training distribution is unchanged.
     * signatures: lgp_apply(vars, feats, nl, train) -> (out, new_stats);
       unet_apply_taps(params, x, t, ctx) -> (eps, taps);
       vae_encode(params, img) -> (mean, logvar); text_apply(params, ids);
@@ -111,16 +117,21 @@ def make_lgp_train_step(
 
     def step_fn(state: LGPTrainState, frozen: Dict[str, Any], batch, rng) -> Tuple[LGPTrainState, dict]:
         r_lat, r_sketch, r_noise, r_t = jax.random.split(rng, 4)
-        px = batch["pixels"]
-        b = px.shape[0]
+        b = batch["input_ids"].shape[0]
 
         # ---- frozen preprocessing (trainer.py:216-220) ----
         ctx = encode_tokens_static(text_apply, frozen["text"], batch["input_ids"])
-        mean, logvar = vae_encode(frozen["vae"], px)
+        if cached_latents:
+            mean, logvar = jnp.split(batch["latent_dist"], 2, axis=-1)
+            smean, slogvar = jnp.split(batch["sketch_latent_dist"], 2, axis=-1)
+        else:
+            px = batch["pixels"]
+            mean, logvar = vae_encode(frozen["vae"], px)
+            sketch_img = generate_sketch(gan_apply, frozen["gan"], px,
+                                         fixed=sketch_fixed_size)
+            smean, slogvar = vae_encode(frozen["vae"], sketch_img)
         latents = (mean + jnp.exp(0.5 * logvar)
                    * jax.random.normal(r_lat, mean.shape, mean.dtype)) * SCALING_FACTOR
-        sketch_img = generate_sketch(gan_apply, frozen["gan"], px, fixed=sketch_fixed_size)
-        smean, slogvar = vae_encode(frozen["vae"], sketch_img)
         sketch_latents = (smean + jnp.exp(0.5 * slogvar)
                           * jax.random.normal(r_sketch, smean.shape, smean.dtype)) * SCALING_FACTOR
 

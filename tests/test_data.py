@@ -98,11 +98,19 @@ def test_latent_cache(corpus):
     store = ImageStore([str(corpus)], size=32, tokenizer=FakeTokenizer(), seed=1)
 
     def encode_fn(px):
-        return px[:, ::8, ::8, :2]  # fake encoder
+        return px[:, ::8, ::8, :2]  # fake encoder moments
 
-    store.cache_latents(encode_fn)
+    def sketch_fn(px):
+        return -px[:, ::8, ::8, :2]
+
+    store.cache_latents(encode_fn, sketch_fn)
     ex = store[0]
-    assert ex["images"].shape == (4, 4, 2)
+    assert ex["latent_dist"].shape == (4, 4, 2)
+    assert ex["sketch_latent_dist"].shape == (4, 4, 2)
+    batch = store.collate_fn([store[0], store[1]], pad_to=16)
+    assert "pixels" not in batch
+    assert batch["latent_dist"].shape == (2, 4, 4, 2)
+    assert batch["sketch_latent_dist"].shape == (2, 4, 4, 2)
 
 
 def test_allow_duplicates(corpus):

@@ -289,3 +289,48 @@ def test_adamw8bit_in_train_step(tiny):
     s1, m = jax.jit(step8)(st8, frozen, _batch(), jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
     assert s1.opt_state["mu"]["dense_0"]["kernel"]["q"].dtype == jnp.int8
+
+
+def test_cached_latents_step_matches_uncached(tiny):
+    """cache_latents path: precomputed VAE moments for image + sketch must
+    reproduce the uncached step exactly under the same rng (the cache stores
+    distributions, not samples, so per-step noise stays stochastic)."""
+    _, _, _, lgp_vars, frozen, fns = tiny
+    sched = make_schedule()
+    # SGD, not Adam: Adam normalizes near-zero gradients to full-size
+    # updates, so the moments' jit-boundary fp drift (~1e-7) would surface
+    # as O(lr) param differences despite identical math
+    import optax
+
+    tx = optax.sgd(1e-3)
+    kw = dict(sketch_fixed_size=32)
+    step = make_lgp_train_step(
+        fns["lgp_apply"], fns["unet_apply_taps"], fns["vae_encode"],
+        fns["text_apply"], fns["gan_apply"], sched, tx, **kw)
+    cstep = make_lgp_train_step(
+        fns["lgp_apply"], fns["unet_apply_taps"], fns["vae_encode"],
+        fns["text_apply"], fns["gan_apply"], sched, tx,
+        cached_latents=True, **kw)
+    state = init_lgp_train_state(lgp_vars, tx)
+
+    batch = _batch()
+    from sketch2img_tpu.train.train_lgp import generate_sketch
+
+    mean, logvar = fns["vae_encode"](frozen["vae"], batch["pixels"])
+    sk = generate_sketch(fns["gan_apply"], frozen["gan"], batch["pixels"],
+                         fixed=32)
+    smean, slogvar = fns["vae_encode"](frozen["vae"], sk)
+    cbatch = {
+        "input_ids": batch["input_ids"],
+        "latent_dist": jnp.concatenate([mean, logvar], axis=-1),
+        "sketch_latent_dist": jnp.concatenate([smean, slogvar], axis=-1),
+    }
+    rng = jax.random.PRNGKey(7)
+    s_a, m_a = jax.jit(step)(state, frozen, batch, rng)
+    s_b, m_b = jax.jit(cstep)(state, frozen, cbatch, rng)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_a.params),
+                    jax.tree_util.tree_leaves(s_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)

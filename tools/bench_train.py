@@ -34,6 +34,9 @@ def main():
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--size", type=int, default=512)
     p.add_argument("--reps", type=int, default=10)
+    p.add_argument("--cached", action="store_true",
+                   help="cached-latent step (dataset.cache_latents path: "
+                        "no GAN, no VAE encodes in the step)")
     args = p.parse_args()
 
     from sketch2img_tpu.core.schedulers import make_schedule
@@ -79,16 +82,26 @@ def main():
         lambda p, ids: text.apply({"params": p}, ids),
         lambda p, img: gan.apply({"params": p}, img),
         make_schedule(), tx,
+        cached_latents=args.cached,
     )
     step = jax.jit(step, donate_argnums=(0,))
 
     state = init_lgp_train_state(lv, tx)
     frozen = {"unet": up, "vae": vp, "text": tp, "gan": gp}
-    batch = {
-        "input_ids": jnp.full((b, 77), 42, jnp.int32),
-        "pixels": jax.random.normal(jax.random.PRNGKey(9), (b, size, size, 3),
-                                    jnp.float32) * 0.3,
-    }
+    if args.cached:
+        batch = {
+            "input_ids": jnp.full((b, 77), 42, jnp.int32),
+            "latent_dist": jax.random.normal(
+                jax.random.PRNGKey(9), (b, hw, hw, 8), jnp.float32) * 0.3,
+            "sketch_latent_dist": jax.random.normal(
+                jax.random.PRNGKey(10), (b, hw, hw, 8), jnp.float32) * 0.3,
+        }
+    else:
+        batch = {
+            "input_ids": jnp.full((b, 77), 42, jnp.int32),
+            "pixels": jax.random.normal(jax.random.PRNGKey(9), (b, size, size, 3),
+                                        jnp.float32) * 0.3,
+        }
 
     print("compiling...", flush=True)
     state, m = step(state, frozen, batch, jax.random.PRNGKey(0))
@@ -100,7 +113,8 @@ def main():
         state, m = step(state, frozen, batch, jax.random.PRNGKey(i + 1))
     float(m["loss"])  # dependent fetch = sync through the tunnel
     dt_step = (time.perf_counter() - t0) / args.reps
-    print(f"bs{b} {size}px: {dt_step*1e3:.1f} ms/step, "
+    tag = " (cached latents)" if args.cached else ""
+    print(f"bs{b} {size}px{tag}: {dt_step*1e3:.1f} ms/step, "
           f"{b/dt_step:.1f} images/sec/chip", flush=True)
 
 
