@@ -124,10 +124,15 @@ _BLOCK_TABLE: dict = {
     # padded tail (4353 -> 4480) minimal.
     ("fwd", 4608, 8): (4096, 128),
     ("fwd", 4608, 16): (4096, 128),
-    ("fwd", 9216, 8): (1024, 1024),    # 2.30ms @ (8, 9216, 40) — 768px
-    ("fwd", 9216, 16): (1024, 1024),
-    ("fwd", 16384, 8): (2048, 512),    # 6.72ms @ (8, 16384, 40) — 1024px
-    ("fwd", 16384, 16): (2048, 512),
+    # 768px/1024px buckets re-swept device-side (round 2, chained scans
+    # with proper rep counts): fwd 9216 (3072,1024) 1.82ms vs (1024,1024)
+    # 2.06; fwd 16384 (4096,256) 6.21 vs (2048,512) 6.58; bwd 16384
+    # (2048,512) 12.49 vs (2048,1024) 13.39; bwd 9216 keeps (1024,1024)
+    # (2.61, best of 7).
+    ("fwd", 9216, 8): (3072, 1024),
+    ("fwd", 9216, 16): (3072, 1024),
+    ("fwd", 16384, 8): (4096, 256),
+    ("fwd", 16384, 16): (4096, 256),
     ("bwd", 4096, 8): (2048, 512),     # 823us fwd+bwd chain @ (8, 4096, 40)
     ("bwd", 4096, 16): (4096, 256),    # 1.60ms fwd+bwd chain @ (16, 4096, 40)
     # per-kernel split at the guided path's hot shape (device-side sweep at
@@ -142,8 +147,8 @@ _BLOCK_TABLE: dict = {
     ("bwd", 4608, 16): (4096, 128),
     ("bwd", 9216, 8): (1024, 1024),    # 4.30ms
     ("bwd", 9216, 16): (1024, 1024),
-    ("bwd", 16384, 8): (2048, 1024),   # 13.8ms
-    ("bwd", 16384, 16): (2048, 1024),
+    ("bwd", 16384, 8): (2048, 512),
+    ("bwd", 16384, 16): (2048, 512),
 }
 
 _FORCED_BLOCKS = None  # sweep hook: (block_q, block_k) or None
