@@ -112,12 +112,38 @@ def main():
         return unet.apply({"params": p}, x, t, ctx,
                           injection_states=s, injection_scale=scale)
 
+    # latent cache (dataset.cache_latents, same flag as the LGP trainer):
+    # precompute the VAE moments and the CLIP-normalized anime2sketch sketch
+    # once per image — the frozen GAN and the VAE encode drop out of the
+    # step; the trainable CLIP tower still sees the sketch every step.
+    cache = bool(config.get_path("dataset.cache_latents", False))
+    if cache:
+        from sketch2img_tpu.train.train_lgp import generate_sketch
+
+        enc = jax.jit(lambda px: jnp.concatenate(
+            c.vae_encode_moments(c.vae_params, px), axis=-1))
+
+        def sketch_clip_pixels(px):
+            raw = generate_sketch(
+                lambda p, im: gan.apply({"params": p}, im), gan_params, px,
+                fixed=512, binarize=False)
+            sk = jnp.clip(raw, 0.0, 1.0)
+            sk = jax.image.resize(sk, (px.shape[0], 224, 224, 3), method="cubic")
+            mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
+            std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
+            return (sk - mean) / std
+
+        print(f"caching latents for {len(dataset)} images ...", flush=True)
+        dataset.cache_latents(enc, jax.jit(sketch_clip_pixels),
+                              sketch_key="sketch_clip_pixels")
+
     step_fn = make_inject_train_step(
         unet_apply_injected,
         lambda p, px: clip.apply({"params": p}, px),
         c.vae_encode_moments, c.text_apply,
         lambda p, img: gan.apply({"params": p}, img),
         c.schedule, tx, n_sites,
+        cached_latents=cache,
     )
 
     if args.resume:

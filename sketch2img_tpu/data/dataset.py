@@ -153,7 +153,9 @@ class ImageStore:
             max_length=self.max_length,
         ).input_ids
 
-    def cache_latents(self, encode_fn, sketch_fn=None) -> None:
+    def cache_latents(self, encode_fn, sketch_fn=None, *,
+                      key: str = "latent_dist",
+                      sketch_key: str = "sketch_latent_dist") -> None:
         """Optionally precompute latents: encode_fn(pixels NHWC (1,H,W,3))
         -> (1,h,w,C) — typically the VAE's (mean ‖ logvar) moments so each
         train step still draws a fresh latent sample (implements the
@@ -162,6 +164,7 @@ class ImageStore:
         the anime2sketch->VAE sketch moments the LGP trainer needs, removing
         both the GAN and every VAE encode from the train step."""
         self.use_latent_cache = True
+        self.cache_key, self.sketch_cache_key = key, sketch_key
         self.sketch_cache: Dict[str, np.ndarray] = {}
         for img_path, _ in self.entries:
             px = self.transform(self.read_img(img_path))[None]
@@ -181,15 +184,11 @@ class ImageStore:
         for i, r in enumerate(ids):
             input_ids[i, : len(r)] = r[:width]
         out = {"input_ids": input_ids}
-        if "images" in examples[0]:
-            out["pixels"] = np.stack(
-                [e["images"] for e in examples]).astype(np.float32)
-        if "latent_dist" in examples[0]:
-            out["latent_dist"] = np.stack(
-                [e["latent_dist"] for e in examples]).astype(np.float32)
-        if "sketch_latent_dist" in examples[0]:
-            out["sketch_latent_dist"] = np.stack(
-                [e["sketch_latent_dist"] for e in examples]).astype(np.float32)
+        for k in examples[0]:
+            if k == "prompt_ids":
+                continue
+            name = "pixels" if k == "images" else k
+            out[name] = np.stack([e[k] for e in examples]).astype(np.float32)
         return out
 
     # -- aspect-ratio bucketing (the reference's dead arb: block, made real) --
@@ -253,9 +252,9 @@ class ImageStore:
         path, prompt = self.entries[index % self._length]
         example: Dict[str, Any] = {}
         if self.use_latent_cache:
-            example["latent_dist"] = self.latents_cache[path]
+            example[self.cache_key] = self.latents_cache[path]
             if self.sketch_cache:
-                example["sketch_latent_dist"] = self.sketch_cache[path]
+                example[self.sketch_cache_key] = self.sketch_cache[path]
         else:
             example["images"] = self.transform(self.read_img(path))
         if self.ucg and self.rng.random() < self.ucg:

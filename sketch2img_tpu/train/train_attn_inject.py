@@ -66,35 +66,45 @@ def make_inject_train_step(
     *,
     sketch_fixed_size: int = 512,
     clip_image_size: int = 224,
+    cached_latents: bool = False,
 ) -> Callable:
     """Returns ``step_fn(state, frozen, batch, rng) -> (state, metrics)``.
 
     * ``frozen`` = dict(unet_base=..., vae=..., text=..., gan=...)
     * ``unet_apply_injected(params, x, t, ctx, states, scale) -> eps``
     * ``clip_vision_apply(params, pixel_values) -> last_hidden_state``
+    * with ``cached_latents=True`` the batch carries precomputed VAE
+      moments ``latent_dist`` (B,h,w,8) and the CLIP-normalized sketch
+      ``sketch_clip_pixels`` (B,224,224,3) — the frozen GAN and the VAE
+      encode drop out of the step (the trainable CLIP tower still runs on
+      the cached sketch every step, so its gradients are unaffected).
     """
 
     def step_fn(state: InjectTrainState, frozen: Dict[str, Any], batch, rng):
         r_lat, r_noise, r_t = jax.random.split(rng, 3)
-        px = batch["pixels"]
-        b = px.shape[0]
+        b = batch["input_ids"].shape[0]
 
         ctx = encode_tokens_static(text_apply, frozen["text"], batch["input_ids"])
-        mean, logvar = vae_encode(frozen["vae"], px)
+        if cached_latents:
+            mean, logvar = jnp.split(batch["latent_dist"], 2, axis=-1)
+            sk = batch["sketch_clip_pixels"]
+        else:
+            px = batch["pixels"]
+            mean, logvar = vae_encode(frozen["vae"], px)
+
+            # CLIP-variant sketch: NO binarization (clip_guided_trainer.py:33-38)
+            raw_sketch = generate_sketch(gan_apply, frozen["gan"], px,
+                                         fixed=sketch_fixed_size, binarize=False)
+            # CLIPImageProcessor: resize to 224 + CLIP mean/std normalization
+            # of the [0,1] image (clip_guided_trainer.py:212)
+            sk01 = jnp.clip(raw_sketch, 0.0, 1.0)
+            sk = jax.image.resize(sk01, (b, clip_image_size, clip_image_size, 3),
+                                  method="cubic")
+            clip_mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
+            clip_std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
+            sk = (sk - clip_mean) / clip_std
         latents = (mean + jnp.exp(0.5 * logvar)
                    * jax.random.normal(r_lat, mean.shape, mean.dtype)) * SCALING_FACTOR
-
-        # CLIP-variant sketch: NO binarization (clip_guided_trainer.py:33-38)
-        raw_sketch = generate_sketch(gan_apply, frozen["gan"], px,
-                                     fixed=sketch_fixed_size, binarize=False)
-        # CLIPImageProcessor: resize to 224 + CLIP mean/std normalization of
-        # the [0,1] image (clip_guided_trainer.py:212)
-        sk01 = jnp.clip(raw_sketch, 0.0, 1.0)
-        sk = jax.image.resize(sk01, (b, clip_image_size, clip_image_size, 3),
-                              method="cubic")
-        clip_mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
-        clip_std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
-        sk = (sk - clip_mean) / clip_std
 
         noise = jax.random.normal(r_noise, latents.shape, latents.dtype)
         t = jax.random.randint(r_t, (b,), 0, schedule.num_train_timesteps)

@@ -334,3 +334,69 @@ def test_cached_latents_step_matches_uncached(tiny):
                     jax.tree_util.tree_leaves(s_b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0, atol=1e-6)
+
+
+def test_inject_cached_latents_step_matches_uncached(tiny):
+    """Injection-trainer cache path: precomputed VAE moments + the
+    CLIP-normalized sketch must reproduce the uncached step exactly under
+    the same rng (SGD — see the LGP twin test for why not Adam)."""
+    import optax
+
+    cfg = UNetConfig(block_out_channels=(32, 64), cross_attn=(True, False),
+                     num_heads=2, cross_attention_dim=32,
+                     injection="clip", injection_context_dim=24)
+    unet = UNet2DCondition(cfg)
+    n = num_transformer_blocks(cfg)
+    clip_cfg = CLIPVisionConfig(image_size=32, patch_size=8, hidden_size=24,
+                                intermediate_size=48, num_layers=2, num_heads=2)
+    clip = CLIPVisionEncoder(clip_cfg)
+    states = [jnp.zeros((1, 17, 24))] * n
+    unet_params = unet.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 4)),
+                            jnp.array([0]), jnp.zeros((1, 12, 32)),
+                            injection_states=states)["params"]
+    clip_params = clip.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)))["params"]
+
+    _, _, _, _, frozen_all, fns = tiny
+    sched = make_schedule()
+    tx = optax.sgd(1e-3)
+    state, base = init_inject_train_state(unet_params, clip_params, tx)
+
+    def unet_apply_injected(p, x, t, ctx, s, scale):
+        return unet.apply({"params": p}, x, t, ctx,
+                          injection_states=s, injection_scale=scale)
+
+    def clip_apply(p, px):
+        return clip.apply({"params": p}, px)
+
+    kw = dict(sketch_fixed_size=32, clip_image_size=32)
+    step = make_inject_train_step(
+        unet_apply_injected, clip_apply, fns["vae_encode"], fns["text_apply"],
+        fns["gan_apply"], sched, tx, n, **kw)
+    cstep = make_inject_train_step(
+        unet_apply_injected, clip_apply, fns["vae_encode"], fns["text_apply"],
+        fns["gan_apply"], sched, tx, n, cached_latents=True, **kw)
+    frozen = {"unet_base": base, "vae": frozen_all["vae"],
+              "text": frozen_all["text"], "gan": frozen_all["gan"]}
+    batch = _batch()
+
+    from sketch2img_tpu.train.train_lgp import generate_sketch
+
+    mean, logvar = fns["vae_encode"](frozen["vae"], batch["pixels"])
+    raw = generate_sketch(fns["gan_apply"], frozen["gan"], batch["pixels"],
+                          fixed=32, binarize=False)
+    sk = jnp.clip(raw, 0.0, 1.0)
+    sk = jax.image.resize(sk, (sk.shape[0], 32, 32, 3), method="cubic")
+    sk = ((sk - jnp.asarray([0.48145466, 0.4578275, 0.40821073]))
+          / jnp.asarray([0.26862954, 0.26130258, 0.27577711]))
+    cbatch = {"input_ids": batch["input_ids"],
+              "latent_dist": jnp.concatenate([mean, logvar], axis=-1),
+              "sketch_clip_pixels": sk}
+    rng = jax.random.PRNGKey(5)
+    s_a, m_a = jax.jit(step)(state, frozen, batch, rng)
+    s_b, m_b = jax.jit(cstep)(state, frozen, cbatch, rng)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s_a.inj_params),
+                    jax.tree_util.tree_leaves(s_b.inj_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0, atol=1e-6)
