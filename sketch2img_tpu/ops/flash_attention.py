@@ -112,8 +112,8 @@ def preferred(q, k, v, mask) -> bool:
 # through the axon tunnel systematically under-reported them (CLAUDE.md).
 # Sweeps at (1,8,4096,40) and (2,8,4096,40) over 12 block variants plus the
 # non-transposed kernels (all >= 976us) confirm (4096, 256) optimal for
-# both BH buckets. The 9216/16384 entries are wall-chain medians
-# (tools/bench_flash_headtohead.py) — relative ordering only.
+# both BH buckets. The 9216/16384 entries were re-swept in round 2 with
+# properly-sized chained scans (see the inline comments below).
 _BLOCK_TABLE: dict = {
     ("fwd", 4096, 8): (4096, 256),     # 394us dev @ (8, 4096, 40)
     ("fwd", 4096, 16): (4096, 256),    # 787us dev @ (16, 4096, 40)
@@ -129,6 +129,13 @@ _BLOCK_TABLE: dict = {
     # 2.06; fwd 16384 (4096,256) 6.21 vs (2048,512) 6.58; bwd 16384
     # (2048,512) 12.49 vs (2048,1024) 13.39; bwd 9216 keeps (1024,1024)
     # (2.61, best of 7).
+    # intermediate sizes (576-704px, N=5184-7744) keep (1024,1024): the
+    # (3072,1024) win is specific to N=9216 where it tiles exactly — at
+    # e.g. N=6400 it would pad the q axis to 9216 (+44% work)
+    ("fwd", 7168, 8): (1024, 1024),
+    ("fwd", 7168, 16): (1024, 1024),
+    ("bwd", 7168, 8): (1024, 1024),
+    ("bwd", 7168, 16): (1024, 1024),
     ("fwd", 9216, 8): (3072, 1024),
     ("fwd", 9216, 16): (3072, 1024),
     ("fwd", 16384, 8): (4096, 256),

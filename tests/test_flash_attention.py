@@ -103,6 +103,9 @@ def test_block_dispatch_table_lookup():
         4096, 4096, "bwd", 16)
     # clip-injection shape lands in the 4608 bucket, not 9216
     assert fa._block_sizes(4096, 4353, "fwd", 128) == (4096, 128)
+    # intermediate 640px sizes keep (1024,1024); exact 9216 gets (3072,1024)
+    assert fa._block_sizes(6400, 6400, "fwd", 8) == (1024, 1024)
+    assert fa._block_sizes(9216, 9216, "fwd", 8) == (3072, 1024)
     # 9216 bucket: per-kernel kinds fall back to the shared bwd entry
     assert fa._block_sizes(9216, 9216, "bwd_dkv", 8) == fa._block_sizes(
         9216, 9216, "bwd", 8)

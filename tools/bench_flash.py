@@ -25,6 +25,7 @@ CASES = [
     (8, 256, 160),
     (16, 4096, 40),  # CFG-doubled batch (plain loop / bs2)
     (16, 1024, 80),
+    (128, 4480, 40),  # clip-injection [image; CLIP] concat, batch-8 serving
 ]
 
 BLOCKS = [256, 512, 1024, 2048, 4096]
