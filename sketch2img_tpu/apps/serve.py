@@ -33,9 +33,12 @@ from __future__ import annotations
 
 import argparse
 import base64
+import hashlib
 import io
 import json
+import queue
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -61,6 +64,90 @@ def _snap(v, lo=64, hi=1024, step=8) -> int:
     return max(lo, min(hi, (int(v) // step) * step))
 
 
+class _Batcher:
+    """Cross-request micro-batching.
+
+    Per-image seed lists make batched results identical to single-request
+    results (runtime.SketchGuidedPipeline seed semantics), so compatible
+    requests — same (steps, size, guidance, solver, negative, sketch),
+    single prompt, one image — arriving within ``window_s`` merge into one
+    pipeline call. Measured on v5e: batch-2 guided serving runs each image
+    ~4.5% cheaper than batch-1 (README batched table), and batching holds
+    the chip at one program instead of queueing full generations.
+    """
+
+    def __init__(self, pipe, lock, window_s: float, max_batch: int):
+        self.pipe = pipe
+        self.lock = lock
+        self.window = window_s
+        self.max_batch = max_batch
+        self.q: queue.Queue = queue.Queue()
+        self.calls = 0  # observability + tests
+        threading.Thread(target=self._run, daemon=True).start()
+
+    def submit(self, params: dict, sketch, sketch_key):
+        item = {"params": params, "sketch": sketch, "sketch_key": sketch_key,
+                "event": threading.Event()}
+        self.q.put(item)
+        item["event"].wait()
+        if "error" in item:
+            raise item["error"]
+        return item["imgs"], item["nsfw"]
+
+    @staticmethod
+    def _key(it):
+        p = it["params"]
+        return (p["num_inference_steps"], p["width"], p["height"],
+                p["guidance_scale"], p["solver"], p["negative_prompt"],
+                it["sketch_key"])
+
+    def _run(self):
+        while True:
+            batch = [self.q.get()]
+            deadline = time.monotonic() + self.window
+            while len(batch) < self.max_batch:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    batch.append(self.q.get(timeout=left))
+                except queue.Empty:
+                    break
+            groups: dict = {}
+            for it in batch:
+                groups.setdefault(self._key(it), []).append(it)
+            for items in groups.values():
+                self._process(items)
+
+    def _process(self, items):
+        try:
+            p0 = items[0]["params"]
+            prompts = [it["params"]["prompt"] for it in items]
+            seeds = [it["params"]["seed"] for it in items]
+            with self.lock:
+                self.calls += 1
+                imgs = self.pipe(
+                    prompts,
+                    negative_prompt=p0["negative_prompt"],
+                    num_inference_steps=p0["num_inference_steps"],
+                    guidance_scale=p0["guidance_scale"],
+                    width=p0["width"], height=p0["height"],
+                    seed=seeds,
+                    sketch_image=items[0]["sketch"],
+                    solver=p0["solver"],
+                )
+                flags = self.pipe.last_nsfw_flags
+            imgs = np.asarray(imgs)
+            for i, it in enumerate(items):
+                it["imgs"] = imgs[i:i + 1]
+                it["nsfw"] = ([bool(flags[i])] if flags is not None else None)
+                it["event"].set()
+        except Exception as e:  # deliver the error to every waiter
+            for it in items:
+                it["error"] = e
+                it["event"].set()
+
+
 class GenerateHandler(BaseHTTPRequestHandler):
     """Class attributes ``pipe`` (SketchGuidedPipeline), ``lock``, ``state``
     are installed by make_server()."""
@@ -68,6 +155,7 @@ class GenerateHandler(BaseHTTPRequestHandler):
     pipe = None
     lock: threading.Lock = None
     state: dict = None
+    batcher: "_Batcher" = None
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
@@ -97,24 +185,39 @@ class GenerateHandler(BaseHTTPRequestHandler):
             return self._json(400, {"error": f"bad request: {e}"})
 
         try:
-            sketch = (_decode_sketch(req["sketch_png_b64"])
-                      if req.get("sketch_png_b64") else None)
-            with self.lock:
-                imgs = self.pipe(
-                    prompt,
-                    negative_prompt=req.get("negative_prompt", ""),
-                    num_inference_steps=int(req.get("num_inference_steps", 50)),
-                    guidance_scale=float(req.get("guidance_scale", 7.5)),
-                    width=_snap(req.get("width", 512)),
-                    height=_snap(req.get("height", 512)),
-                    seed=(list(map(int, req["seed"]))
-                          if isinstance(req.get("seed"), list)
-                          else int(req.get("seed", 0))),
-                    num_images_per_prompt=int(
-                        req.get("num_images_per_prompt", 1)),
-                    sketch_image=sketch,
-                    solver=req.get("solver", "dpm++"),
-                )
+            b64 = req.get("sketch_png_b64")
+            sketch = _decode_sketch(b64) if b64 else None
+            n_per = int(req.get("num_images_per_prompt", 1))
+            seed = (list(map(int, req["seed"]))
+                    if isinstance(req.get("seed"), list)
+                    else int(req.get("seed", 0)))
+            params = {
+                "prompt": prompt,
+                "negative_prompt": req.get("negative_prompt", ""),
+                "num_inference_steps": int(req.get("num_inference_steps", 50)),
+                "guidance_scale": float(req.get("guidance_scale", 7.5)),
+                "width": _snap(req.get("width", 512)),
+                "height": _snap(req.get("height", 512)),
+                "seed": seed,
+                "solver": req.get("solver", "dpm++"),
+            }
+            batchable = (self.batcher is not None
+                         and isinstance(prompt, str) and n_per == 1
+                         and not isinstance(seed, list))
+            if batchable:
+                # resolve seed 0 server-side so batched results stay
+                # deterministic per request; per-image seed lists make
+                # the result independent of what it gets batched with
+                params["seed"] = seed or int(np.random.randint(1, 2**31 - 1))
+                sketch_key = (hashlib.sha1(b64.encode()).hexdigest()
+                              if b64 else None)
+                imgs, nsfw = self.batcher.submit(params, sketch, sketch_key)
+            else:
+                with self.lock:
+                    imgs = self.pipe(num_images_per_prompt=n_per,
+                                     sketch_image=sketch, **params)
+                    nsfw = (list(map(bool, self.pipe.last_nsfw_flags))
+                            if self.pipe.last_nsfw_flags is not None else None)
         except Exception as e:  # surface the error to the client, keep serving
             return self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
@@ -125,8 +228,7 @@ class GenerateHandler(BaseHTTPRequestHandler):
             return self._json(200, {
                 "images": [base64.b64encode(_png_bytes(i)).decode()
                            for i in imgs],
-                "nsfw": (list(map(bool, self.pipe.last_nsfw_flags))
-                         if self.pipe.last_nsfw_flags is not None else None),
+                "nsfw": nsfw,
             })
         body = _png_bytes(imgs[0])
         self.send_response(200)
@@ -136,13 +238,19 @@ class GenerateHandler(BaseHTTPRequestHandler):
         self.wfile.write(body)
 
 
-def make_server(pipe, host: str = "127.0.0.1", port: int = 8000):
+def make_server(pipe, host: str = "127.0.0.1", port: int = 8000,
+                batch_window_ms: float = 0.0, max_batch: int = 4):
     """Build (but don't start) the HTTP server around a pipeline. The
-    handler serializes device work through one lock."""
+    handler serializes device work through one lock. With
+    ``batch_window_ms > 0``, compatible concurrent requests micro-batch
+    into one pipeline call (see _Batcher)."""
+    lock = threading.Lock()
     handler = type("Handler", (GenerateHandler,), {
         "pipe": pipe,
-        "lock": threading.Lock(),
+        "lock": lock,
         "state": {"warm": False},
+        "batcher": (_Batcher(pipe, lock, batch_window_ms / 1e3, max_batch)
+                    if batch_window_ms > 0 else None),
     })
     server = ThreadingHTTPServer((host, port), handler)
     server.handler_class = handler
@@ -150,10 +258,16 @@ def make_server(pipe, host: str = "127.0.0.1", port: int = 8000):
 
 
 def warmup(server, sizes) -> None:
-    """Compile each (width, height, steps) before taking traffic."""
+    """Compile each (width, height, steps) before taking traffic; with
+    micro-batching on, also compile every batch size up to max_batch (a
+    cold compile mid-traffic would stall a whole batch for minutes)."""
     h = server.handler_class
+    batches = ([1] if h.batcher is None
+               else list(range(1, h.batcher.max_batch + 1)))
     for (w, ht, steps) in sizes:
-        h.pipe("warmup", num_inference_steps=steps, width=w, height=ht, seed=1)
+        for b in batches:
+            h.pipe(["warmup"] * b, num_inference_steps=steps, width=w,
+                   height=ht, seed=list(range(1, b + 1)))
     h.state["warm"] = True
 
 
@@ -165,12 +279,18 @@ def main():
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--warmup", default="512x512x50",
                     help="comma-separated WxHxSTEPS list; empty to skip")
+    ap.add_argument("--batch_window_ms", type=float, default=0.0,
+                    help="micro-batch compatible requests arriving within "
+                         "this window (0 = off)")
+    ap.add_argument("--max_batch", type=int, default=4)
     args = ap.parse_args()
 
     from sketch2img_tpu.apps.app import build_pipeline
 
     pipe = build_pipeline(args.model_path, args.lgp_path)
-    server = make_server(pipe, args.host, args.port)
+    server = make_server(pipe, args.host, args.port,
+                         batch_window_ms=args.batch_window_ms,
+                         max_batch=args.max_batch)
     sizes = []
     for part in filter(None, args.warmup.split(",")):
         w, h, s = (int(x) for x in part.split("x"))

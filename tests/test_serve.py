@@ -106,3 +106,52 @@ def test_bad_request_and_unknown_path(server):
     assert resp.status == 400
     resp, _ = _request(server, "GET", "/nope")
     assert resp.status == 404
+
+
+def test_micro_batching_merges_concurrent_requests(server):
+    """Two compatible concurrent requests must be served by ONE pipeline
+    call, and each response must equal the single-request result for its
+    seed (per-image-seed batch invariance)."""
+    from sketch2img_tpu.apps.serve import make_server, warmup
+
+    pipe = server.handler_class.pipe
+    bsrv = make_server(pipe, "127.0.0.1", 0, batch_window_ms=1500,
+                       max_batch=2)
+    warmup(bsrv, [(128, 128, 2)])
+    t = threading.Thread(target=bsrv.serve_forever, daemon=True)
+    t.start()
+    try:
+        results = {}
+
+        def fire(name, seed):
+            resp, data = _request(bsrv, "POST", "/generate", {
+                "prompt": f"a {name}", "num_inference_steps": 2,
+                "width": 128, "height": 128, "seed": seed,
+                "response": "json",
+            })
+            results[name] = (resp.status, json.loads(data))
+
+        calls_before = bsrv.handler_class.batcher.calls
+        t1 = threading.Thread(target=fire, args=("cat", 101))
+        t2 = threading.Thread(target=fire, args=("dog", 202))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert results["cat"][0] == 200 and results["dog"][0] == 200
+        assert bsrv.handler_class.batcher.calls == calls_before + 1
+
+        # batch invariance: the batched "dog" image equals a direct
+        # single-image call with the same seed
+        solo = pipe(["a dog"], num_inference_steps=2, width=128, height=128,
+                    seed=[202])
+        import io as _io
+
+        from PIL import Image
+
+        got = np.asarray(Image.open(_io.BytesIO(
+            base64.b64decode(results["dog"][1]["images"][0]))))
+        want = (np.clip(np.asarray(solo[0]), 0, 1) * 255).astype(np.uint8)
+        # the latent init is seed-exact, but XLA's bs2 program may round a
+        # handful of pixels one step differently than bs1 (fusion order)
+        diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+        assert diff.max() <= 1 and (diff > 0).mean() < 1e-3, diff.max()
+    finally:
+        bsrv.shutdown()
