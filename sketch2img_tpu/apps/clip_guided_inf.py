@@ -68,6 +68,11 @@ class ClipGuidedPipeline:
             )["params"]
         self.clip_params = cast_float_params(self.clip_params, jnp.bfloat16)
         self._fns = {}
+        # text-encode helper built ONCE: it caches the jitted text encoder
+        # (rebuilding per call would retrace it every generation)
+        from sketch2img_tpu.runtime import SketchGuidedPipeline
+
+        self._helper = SketchGuidedPipeline(self.c)
 
     def encode_sketch(self, spimg01: np.ndarray):
         """CLIPImageProcessor parity: [0,1] -> resize 224 bicubic -> CLIP
@@ -96,10 +101,8 @@ class ClipGuidedPipeline:
             make_attn_injected_fn,
         )
         from sketch2img_tpu.pipelines.text2img import latents_to_image
-        from sketch2img_tpu.runtime import SketchGuidedPipeline
 
-        helper = SketchGuidedPipeline(self.c)
-        uncond, cond = helper.encode_prompt(prompt, negative_prompt)
+        uncond, cond = self._helper.encode_prompt(prompt, negative_prompt)
         ctx_pair = jnp.concatenate([uncond, cond], axis=0)
 
         key = jax.random.PRNGKey(seed if seed != 0 else np.random.randint(2**31 - 1))
