@@ -5,6 +5,8 @@ The reference's only serving surface is a Gradio demo (app.py:127-227;
 the same pipeline behind a dependency-free HTTP API (stdlib http.server):
 
   GET  /healthz              -> {"status": "ok", "warm": true/false}
+  GET  /metrics              -> request/image/error counts, batch-size
+                                histogram, p50/p95 generation latency
   POST /generate             -> PNG bytes (default) or JSON
 
 POST body (JSON):
@@ -76,11 +78,13 @@ class _Batcher:
     the chip at one program instead of queueing full generations.
     """
 
-    def __init__(self, pipe, lock, window_s: float, max_batch: int):
+    def __init__(self, pipe, lock, window_s: float, max_batch: int,
+                 metrics=None):
         self.pipe = pipe
         self.lock = lock
         self.window = window_s
         self.max_batch = max_batch
+        self.metrics = metrics
         self.q: queue.Queue = queue.Queue()
         self.calls = 0  # observability + tests
         threading.Thread(target=self._run, daemon=True).start()
@@ -124,6 +128,11 @@ class _Batcher:
             p0 = items[0]["params"]
             prompts = [it["params"]["prompt"] for it in items]
             seeds = [it["params"]["seed"] for it in items]
+            if self.metrics is not None:
+                with self.metrics["lock"]:
+                    key = str(len(items))
+                    self.metrics["batch_sizes"][key] = (
+                        self.metrics["batch_sizes"].get(key, 0) + 1)
             with self.lock:
                 self.calls += 1
                 imgs = self.pipe(
@@ -171,6 +180,19 @@ class GenerateHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             self._json(200, {"status": "ok", "warm": self.state["warm"]})
+        elif self.path == "/metrics":
+            m = self.state["metrics"]
+            with m["lock"]:
+                lat = sorted(m["latencies"][-512:])
+                self._json(200, {
+                    "requests": m["requests"],
+                    "errors": m["errors"],
+                    "images": m["images"],
+                    "batch_sizes": dict(sorted(m["batch_sizes"].items())),
+                    "latency_p50_s": lat[len(lat) // 2] if lat else None,
+                    "latency_p95_s": (lat[int(len(lat) * 0.95)]
+                                      if lat else None),
+                })
         else:
             self._json(404, {"error": "unknown path"})
 
@@ -184,6 +206,7 @@ class GenerateHandler(BaseHTTPRequestHandler):
         except (KeyError, ValueError, json.JSONDecodeError) as e:
             return self._json(400, {"error": f"bad request: {e}"})
 
+        t0 = time.monotonic()
         try:
             b64 = req.get("sketch_png_b64")
             sketch = _decode_sketch(b64) if b64 else None
@@ -219,9 +242,19 @@ class GenerateHandler(BaseHTTPRequestHandler):
                     nsfw = (list(map(bool, self.pipe.last_nsfw_flags))
                             if self.pipe.last_nsfw_flags is not None else None)
         except Exception as e:  # surface the error to the client, keep serving
+            m = self.state["metrics"]
+            with m["lock"]:
+                m["requests"] += 1
+                m["errors"] += 1
             return self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
         imgs = np.asarray(imgs)
+        m = self.state["metrics"]
+        with m["lock"]:
+            m["requests"] += 1
+            m["images"] += (1 if imgs.ndim == 3 else imgs.shape[0])
+            m["latencies"].append(time.monotonic() - t0)
+            del m["latencies"][:-2048]
         if imgs.ndim == 3:
             imgs = imgs[None]
         if req.get("response", "png") == "json":
@@ -245,11 +278,14 @@ def make_server(pipe, host: str = "127.0.0.1", port: int = 8000,
     ``batch_window_ms > 0``, compatible concurrent requests micro-batch
     into one pipeline call (see _Batcher)."""
     lock = threading.Lock()
+    metrics = {"lock": threading.Lock(), "requests": 0, "errors": 0,
+               "images": 0, "batch_sizes": {}, "latencies": []}
     handler = type("Handler", (GenerateHandler,), {
         "pipe": pipe,
         "lock": lock,
-        "state": {"warm": False},
-        "batcher": (_Batcher(pipe, lock, batch_window_ms / 1e3, max_batch)
+        "state": {"warm": False, "metrics": metrics},
+        "batcher": (_Batcher(pipe, lock, batch_window_ms / 1e3, max_batch,
+                             metrics=metrics)
                     if batch_window_ms > 0 else None),
     })
     server = ThreadingHTTPServer((host, port), handler)

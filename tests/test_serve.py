@@ -155,3 +155,14 @@ def test_micro_batching_merges_concurrent_requests(server):
         assert diff.max() <= 1 and (diff > 0).mean() < 1e-3, diff.max()
     finally:
         bsrv.shutdown()
+
+
+def test_metrics_endpoint(server):
+    """Generation metrics accumulate (runs after the generation tests)."""
+    resp, data = _request(server, "GET", "/metrics")
+    assert resp.status == 200
+    m = json.loads(data)
+    assert m["requests"] >= 2
+    assert m["images"] >= 3  # single PNG + the batch of 2
+    assert m["errors"] == 0
+    assert m["latency_p50_s"] > 0
