@@ -162,14 +162,19 @@ _FORCED_BLOCKS = None  # sweep hook: (block_q, block_k) or None
 
 
 def force_block_sizes(blocks) -> None:
-    """Override block sizes for every kernel — tools/bench_flash.py sweeps."""
+    """Override block sizes for every kernel — tools/bench_flash.py sweeps.
+    Pass (bq, bk), or a dict {kind: (bq, bk)} to force per kernel kind
+    ("fwd" / "bwd_dq" / "bwd_dkv"; unlisted kinds use the table)."""
     global _FORCED_BLOCKS
     _FORCED_BLOCKS = blocks
 
 
 def _block_sizes(nq: int, nk: int, kind: str = "fwd", bh: int = 8):
-    if _FORCED_BLOCKS is not None:
-        bq, bk = _FORCED_BLOCKS
+    forced = _FORCED_BLOCKS
+    if isinstance(forced, dict):
+        forced = forced.get(kind)
+    if forced is not None:
+        bq, bk = forced
         return min(bq, _pad_to(nq, 128)), min(bk, _pad_to(nk, 128))
     n = max(nq, nk)
     bh_bucket = 8 if bh <= 8 else 16
