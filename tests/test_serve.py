@@ -166,3 +166,47 @@ def test_metrics_endpoint(server):
     assert m["images"] >= 3  # single PNG + the batch of 2
     assert m["errors"] == 0
     assert m["latency_p50_s"] > 0
+
+
+def test_micro_batching_never_mixes_sketches(server):
+    """Requests with different sketches are incompatible: they must be
+    processed as separate pipeline calls (one sketch conditions a whole
+    batch), while same-sketch requests may merge."""
+    import io as _io
+
+    from PIL import Image
+
+    from sketch2img_tpu.apps.serve import make_server, warmup
+
+    pipe = server.handler_class.pipe
+    bsrv = make_server(pipe, "127.0.0.1", 0, batch_window_ms=1500,
+                       max_batch=2)
+    warmup(bsrv, [(128, 128, 2)])
+    t = threading.Thread(target=bsrv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def sketch_b64(val):
+            buf = _io.BytesIO()
+            Image.fromarray(np.full((128, 128), val, np.uint8)).save(
+                buf, format="PNG")
+            return base64.b64encode(buf.getvalue()).decode()
+
+        statuses = []
+
+        def fire(seed, b64):
+            resp, _ = _request(bsrv, "POST", "/generate", {
+                "prompt": "a cat", "num_inference_steps": 2,
+                "width": 128, "height": 128, "seed": seed,
+                "sketch_png_b64": b64,
+            })
+            statuses.append(resp.status)
+
+        calls0 = bsrv.handler_class.batcher.calls
+        t1 = threading.Thread(target=fire, args=(1, sketch_b64(255)))
+        t2 = threading.Thread(target=fire, args=(2, sketch_b64(0)))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert statuses == [200, 200]
+        # different sketch hashes -> two separate pipeline calls
+        assert bsrv.handler_class.batcher.calls == calls0 + 2
+    finally:
+        bsrv.shutdown()
