@@ -203,7 +203,13 @@ class GenerateHandler(BaseHTTPRequestHandler):
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n) or b"{}")
             prompt = req["prompt"]
-        except (KeyError, ValueError, json.JSONDecodeError) as e:
+            if req.get("solver", "dpm++") not in ("dpm++", "ddim"):
+                raise ValueError(f"unknown solver {req['solver']!r}")
+            if isinstance(req.get("seed"), list):
+                req["seed"] = list(map(int, req["seed"]))
+            if req.get("sketch_png_b64"):
+                _decode_sketch(req["sketch_png_b64"])  # validate early
+        except Exception as e:  # malformed client input, not a server fault
             return self._json(400, {"error": f"bad request: {e}"})
 
         t0 = time.monotonic()
@@ -211,8 +217,7 @@ class GenerateHandler(BaseHTTPRequestHandler):
             b64 = req.get("sketch_png_b64")
             sketch = _decode_sketch(b64) if b64 else None
             n_per = int(req.get("num_images_per_prompt", 1))
-            seed = (list(map(int, req["seed"]))
-                    if isinstance(req.get("seed"), list)
+            seed = (req["seed"] if isinstance(req.get("seed"), list)
                     else int(req.get("seed", 0)))
             params = {
                 "prompt": prompt,
@@ -293,10 +298,12 @@ def make_server(pipe, host: str = "127.0.0.1", port: int = 8000,
     return server
 
 
-def warmup(server, sizes) -> None:
-    """Compile each (width, height, steps) before taking traffic; with
-    micro-batching on, also compile every batch size up to max_batch (a
-    cold compile mid-traffic would stall a whole batch for minutes)."""
+def warmup(server, sizes, *, sketch: bool = True) -> None:
+    """Compile each (width, height, steps) before taking traffic — BOTH the
+    text2img and the sketch-guided programs (the sketch path is the
+    server's headline use; a cold compile mid-traffic stalls requests for
+    minutes behind the worker lock). With micro-batching on, also compile
+    every batch size up to max_batch."""
     h = server.handler_class
     batches = ([1] if h.batcher is None
                else list(range(1, h.batcher.max_batch + 1)))
@@ -304,6 +311,10 @@ def warmup(server, sizes) -> None:
         for b in batches:
             h.pipe(["warmup"] * b, num_inference_steps=steps, width=w,
                    height=ht, seed=list(range(1, b + 1)))
+            if sketch:
+                h.pipe(["warmup"] * b, num_inference_steps=steps, width=w,
+                       height=ht, seed=list(range(1, b + 1)),
+                       sketch_image=np.ones((ht, w), np.float32))
     h.state["warm"] = True
 
 

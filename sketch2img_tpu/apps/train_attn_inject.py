@@ -118,20 +118,15 @@ def main():
     # step; the trainable CLIP tower still sees the sketch every step.
     cache = bool(config.get_path("dataset.cache_latents", False))
     if cache:
-        from sketch2img_tpu.train.train_lgp import generate_sketch
+        from sketch2img_tpu.train.train_attn_inject import sketch_to_clip_pixels
 
         enc = jax.jit(lambda px: jnp.concatenate(
             c.vae_encode_moments(c.vae_params, px), axis=-1))
 
         def sketch_clip_pixels(px):
-            raw = generate_sketch(
-                lambda p, im: gan.apply({"params": p}, im), gan_params, px,
-                fixed=512, binarize=False)
-            sk = jnp.clip(raw, 0.0, 1.0)
-            sk = jax.image.resize(sk, (px.shape[0], 224, 224, 3), method="cubic")
-            mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
-            std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
-            return (sk - mean) / std
+            # shared with the train step — the cache must be byte-identical
+            return sketch_to_clip_pixels(
+                lambda p, im: gan.apply({"params": p}, im), gan_params, px)
 
         print(f"caching latents for {len(dataset)} images ...", flush=True)
         dataset.cache_latents(enc, jax.jit(sketch_clip_pixels),

@@ -162,7 +162,16 @@ class ImageStore:
         dataset.py:105-112 path the reference never wires up — here it
         actually works). ``sketch_fn`` (same signature) additionally caches
         the anime2sketch->VAE sketch moments the LGP trainer needs, removing
-        both the GAN and every VAE encode from the train step."""
+        both the GAN and every VAE encode from the train step.
+
+        NOTE: caching fixes ONE crop per image for the whole run. With
+        ``center_crop=False`` the uncached path re-draws a random crop
+        every epoch, so enabling the cache trades that augmentation for
+        throughput (latent sampling stays stochastic either way)."""
+        if not self.center_crop:
+            print("cache_latents: random-crop augmentation is frozen to one "
+                  "crop per image for this run (center_crop=False)",
+                  flush=True)
         self.use_latent_cache = True
         self.cache_key, self.sketch_cache_key = key, sketch_key
         self.sketch_cache: Dict[str, np.ndarray] = {}

@@ -134,8 +134,9 @@ def _pick_backend(b, h, w, cin, cout, stride) -> str:
 
 
 def _down2_dx(g, w, pt, pl, x_shape, x_dtype):
+    from sketch2img_tpu.ops.subpixel import interleave2x2, tap_dot
+
     b, h, w_, cin = x_shape
-    cout = w.shape[-1]
     gp = jnp.pad(g, ((0, 0), (1, 1), (1, 1), (0, 0)))
     ho, wo = g.shape[1], g.shape[2]
 
@@ -147,27 +148,16 @@ def _down2_dx(g, w, pt, pl, x_shape, x_dtype):
 
     phases = []
     for p in range(2):
-        row = []
         for q in range(2):
             tk = [(ky, dy, kx, dx)
                   for ky, dy in taps(p, pt) for kx, dx in taps(q, pl)]
-            cols = [
-                jax.lax.slice(gp, (0, 1 + dy, 1 + dx, 0),
-                              (b, 1 + dy + ho, 1 + dx + wo, cout))
-                for _, dy, _, dx in tk
-            ]
-            patches = jnp.concatenate(cols, axis=-1)
-            k = jnp.concatenate(
+            kmat = jnp.concatenate(
                 [jnp.transpose(w[ky, kx]) for ky, _, kx, _ in tk], axis=0
             )  # (T*Cout, Cin)
-            row.append(jax.lax.dot_general(
-                patches, k.astype(patches.dtype),
-                (((3,), (0,)), ((), ())), preferred_element_type=patches.dtype,
-            ))
-        phases.append(row)
-    y = jnp.stack([phases[p][q] for p in range(2) for q in range(2)], axis=3)
-    y = y.reshape(b, ho, wo, 2, 2, cin).transpose(0, 1, 3, 2, 4, 5)
-    return y.reshape(b, 2 * ho, 2 * wo, cin)[:, :h, :w_, :].astype(x_dtype)
+            phases.append(tap_dot(gp, [(dy, dx) for _, dy, _, dx in tk],
+                                  kmat, ho, wo))
+    y = interleave2x2(phases, ho, wo)
+    return y[:, :h, :w_, :].astype(x_dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

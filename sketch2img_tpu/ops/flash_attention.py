@@ -129,9 +129,9 @@ _BLOCK_TABLE: dict = {
     # 2.06; fwd 16384 (4096,256) 6.21 vs (2048,512) 6.58; bwd 16384
     # (2048,512) 12.49 vs (2048,1024) 13.39; bwd 9216 keeps (1024,1024)
     # (2.61, best of 7).
-    # intermediate sizes (576-704px, N=5184-7744) keep (1024,1024): the
-    # (3072,1024) win is specific to N=9216 where it tiles exactly — at
-    # e.g. N=6400 it would pad the q axis to 9216 (+44% work)
+    # intermediate sizes (576-640px, N=5184-6400) keep (1024,1024): the
+    # (3072,1024) win is specific to N=9216 where it tiles exactly; sizes
+    # past this bucket (e.g. N=7744/704px) are protected by _pad_guard
     ("fwd", 7168, 8): (1024, 1024),
     ("fwd", 7168, 16): (1024, 1024),
     ("bwd", 7168, 8): (1024, 1024),
@@ -169,6 +169,17 @@ def force_block_sizes(blocks) -> None:
     _FORCED_BLOCKS = blocks
 
 
+def _pad_guard(n: int, b: int) -> int:
+    """Table entries are tuned at exact bucket shapes; at other lengths a
+    large block can force gross padding (e.g. block_q=4096 at nq=4489 pads
+    the q axis to 8192). Fall back to 1024 whenever it pads strictly less
+    than the tuned block does — at the tuned shapes the padded totals tie,
+    so the swept winner is kept there."""
+    if b > 1024 and _pad_to(n, 1024) < _pad_to(n, b):
+        return 1024
+    return b
+
+
 def _block_sizes(nq: int, nk: int, kind: str = "fwd", bh: int = 8):
     forced = _FORCED_BLOCKS
     if isinstance(forced, dict):
@@ -185,6 +196,7 @@ def _block_sizes(nq: int, nk: int, kind: str = "fwd", bh: int = 8):
         for bucket in sorted({k[1] for k in _BLOCK_TABLE if k[0] == kd}):
             if n <= bucket and (kd, bucket, bh_bucket) in _BLOCK_TABLE:
                 bq, bk = _BLOCK_TABLE[(kd, bucket, bh_bucket)]
+                bq, bk = _pad_guard(nq, bq), _pad_guard(nk, bk)
                 return min(bq, _pad_to(nq, 128)), min(bk, _pad_to(nk, 128))
     block_q = min(_DEFAULT_BLOCK_Q, _pad_to(nq, 128))
     block_k = min(_DEFAULT_BLOCK_K, _pad_to(nk, 128))

@@ -68,32 +68,43 @@ def _phase_kernels(w: jnp.ndarray) -> list[list[jnp.ndarray]]:
 _ROFF = ((-1, 0), (0, 1))  # per-phase tap offsets
 
 
-def _phase_conv(xp: jnp.ndarray, k: jnp.ndarray, p: int, q: int,
-                h: int, w_: int) -> jnp.ndarray:
-    """One 2x2 phase conv as an im2col dot (contraction depth 4*Cin)."""
-    b = xp.shape[0]
-    cin, cout = k.shape[2], k.shape[3]
+def tap_dot(xp: jnp.ndarray, taps, kmat: jnp.ndarray, h: int, w: int
+            ) -> jnp.ndarray:
+    """Shared phase-conv building block: gather ``taps`` = [(dy, dx), ...]
+    shifted views of a 1-padded plane ``xp``, concatenate on channels, one
+    dot against ``kmat`` (T*Cin, Cout). Used by the subpixel upsample, the
+    transposed conv, and conv2d's downsample dx."""
+    b, _, _, cin = xp.shape
     cols = [
-        jax.lax.slice(xp, (0, 1 + _ROFF[p][r], 1 + _ROFF[q][c], 0),
-                      (b, 1 + _ROFF[p][r] + h, 1 + _ROFF[q][c] + w_, cin))
-        for r in range(2) for c in range(2)
+        jax.lax.slice(xp, (0, 1 + dy, 1 + dx, 0),
+                      (b, 1 + dy + h, 1 + dx + w, cin))
+        for dy, dx in taps
     ]
-    patches = jnp.concatenate(cols, axis=-1)  # (B, H, W, 4*Cin)
+    patches = jnp.concatenate(cols, axis=-1)  # (B, H, W, T*Cin)
     return jax.lax.dot_general(
-        patches, k.reshape(4 * cin, cout),
-        (((3,), (0,)), ((), ())), preferred_element_type=xp.dtype,
+        patches, kmat.astype(patches.dtype),
+        (((3,), (0,)), ((), ())), preferred_element_type=patches.dtype,
     )
+
+
+def interleave2x2(phases, h: int, w: int) -> jnp.ndarray:
+    """[p00, p01, p10, p11] of (B, h, w, C) -> (B, 2h, 2w, C) with
+    out[2i+p, 2j+q] = phases[2p+q][i, j] (depth-to-space)."""
+    b, c = phases[0].shape[0], phases[0].shape[-1]
+    y = jnp.stack(phases, axis=3).reshape(b, h, w, 2, 2, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
 
 
 def _subpixel(x, w, bias):
     b, h, w_, cin = x.shape
     cout = w.shape[-1]
     ks = _phase_kernels(w)
+    taps = lambda p, q: [(_ROFF[p][r], _ROFF[q][c])
+                         for r in range(2) for c in range(2)]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    ph = [_phase_conv(xp, ks[p][q], p, q, h, w_)
+    ph = [tap_dot(xp, taps(p, q), ks[p][q].reshape(4 * cin, cout), h, w_)
           for p in range(2) for q in range(2)]
-    y = jnp.stack(ph, axis=3).reshape(b, h, w_, 2, 2, cout)
-    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w_, cout)
+    y = interleave2x2(ph, h, w_)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
@@ -159,28 +170,15 @@ def conv_transpose4x4_s2(
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     phases = []
     for p in range(2):
-        row = []
         for q in range(2):
             tk = [(ky, dy, kx, dx)
                   for ky, dy in _CT_TAPS[p] for kx, dx in _CT_TAPS[q]]
-            cols = [
-                jax.lax.slice(xp, (0, 1 + dy, 1 + dx, 0),
-                              (b, 1 + dy + h, 1 + dx + w_, cin))
-                for _, dy, _, dx in tk
-            ]
-            patches = jnp.concatenate(cols, axis=-1)  # (B, H, W, 4*Cin)
-            k = jnp.concatenate(
+            kmat = jnp.concatenate(
                 [jnp.transpose(w[ky, kx]) for ky, _, kx, _ in tk], axis=0
             )  # (4*Cin, Cout)
-            row.append(jax.lax.dot_general(
-                patches, k.astype(patches.dtype),
-                (((3,), (0,)), ((), ())),
-                preferred_element_type=patches.dtype,
-            ))
-        phases.append(row)
-    y = jnp.stack([phases[p][q] for p in range(2) for q in range(2)], axis=3)
-    y = y.reshape(b, h, w_, 2, 2, cout).transpose(0, 1, 3, 2, 4, 5)
-    y = y.reshape(b, 2 * h, 2 * w_, cout)
+            phases.append(tap_dot(xp, [(dy, dx) for _, dy, _, dx in tk],
+                                  kmat, h, w_))
+    y = interleave2x2(phases, h, w_)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

@@ -108,11 +108,22 @@ def make_sketch_guided_fn(
             x_prev, x0 = sampler_step(i, x, eps, x0_prev)
 
             cond_grad = -g
-            # ||cat([x,x]) - x_prev|| == sqrt(2) * ||x - x_prev|| (pipeline.py:160)
-            num = jnp.sqrt(2.0) * jnp.linalg.norm((x - x_prev).astype(jnp.float32))
-            den = jnp.linalg.norm(cond_grad.astype(jnp.float32))
+            # ||cat([x,x]) - x_prev|| == sqrt(2) * ||x - x_prev|| (pipeline.py:160).
+            # Norms are PER IMAGE (the reference's whole-batch norm is an
+            # artifact of its batch-1 formulation; at batch 1 this is
+            # identical — pinned by the torch-parity test — and at batch>1
+            # each image gets its own guidance magnitude, which keeps
+            # results independent of batch composition for serving)
+            def _per_image_norm(v):
+                return jnp.sqrt(jnp.sum(
+                    v.astype(jnp.float32) ** 2, axis=(1, 2, 3),
+                    keepdims=True))
+
+            num = jnp.sqrt(2.0) * _per_image_norm(x - x_prev)
+            den = _per_image_norm(cond_grad)
             alpha = num / jnp.maximum(den, 1e-20) * beta
-            x_next = x_prev + alpha * cond_grad.astype(x_prev.dtype)
+            x_next = x_prev + (alpha * cond_grad.astype(jnp.float32)).astype(
+                x_prev.dtype)
             emit_callback(callback, callback_steps, i, t, x_next)
             return (x_next, x0)
 

@@ -352,8 +352,8 @@ class SketchGuidedPipeline:
             uncond = jnp.repeat(uncond, num_images_per_prompt, axis=0)
         return uncond, cond
 
-    def encode_sketch(self, sketch01: np.ndarray, rng: jax.Array) -> jnp.ndarray:
-        """Sketchpad [0,1] -> VAE latent target x0.18215 (app.py:106-109:
+    def _sketch_moments(self, sketch01: np.ndarray):
+        """Sketchpad [0,1] -> VAE (mean, logvar) moments (app.py:106-109:
         normalize to [-1,1], tile grayscale to 3ch, encode). Accepts (H,W)
         or (H,W,1) grayscale — tiled like the reference — or an already-RGB
         (H,W,3) array, passed through."""
@@ -367,7 +367,11 @@ class SketchGuidedPipeline:
                 f"sketch_image must be (H,W), (H,W,1) or (H,W,3); got {arr.shape}"
             )
         arr = ((arr - 0.5) / 0.5)[None]
-        mean, logvar = self.c.vae_encode_moments(self.c.vae_params, jnp.asarray(arr))
+        return self.c.vae_encode_moments(self.c.vae_params, jnp.asarray(arr))
+
+    def encode_sketch(self, sketch01: np.ndarray, rng: jax.Array) -> jnp.ndarray:
+        """Sketchpad [0,1] -> sampled VAE latent target x0.18215."""
+        mean, logvar = self._sketch_moments(sketch01)
         noise = jax.random.normal(rng, mean.shape, mean.dtype)
         return sample_latent(mean, logvar, noise)
 
@@ -459,11 +463,13 @@ class SketchGuidedPipeline:
             latents0 = jnp.stack([
                 jax.random.normal(kl, (h, w, 4), jnp.float32)
                 for kl, _ in pairs])
-            k_sketch = pairs[0][1]
+            k_sketch = None  # per-image sketch sampling below
+            sketch_keys = [ks for _, ks in pairs]
         else:
             key = jax.random.PRNGKey(
                 seed if seed != 0 else np.random.randint(2**31 - 1))
             k_lat, k_sketch = jax.random.split(key)
+            sketch_keys = None
             latents0 = jax.random.normal(k_lat, (batch, h, w, 4), jnp.float32)
         uncond, cond = self.encode_prompt(
             prompt, negative_prompt, num_images_per_prompt
@@ -473,8 +479,19 @@ class SketchGuidedPipeline:
         cb_key = callback_steps if callback is not None else None
         try:
             if sketch_image is not None:
-                target = self.encode_sketch(sketch_image, k_sketch)
-                target = jnp.broadcast_to(target, (batch,) + target.shape[1:])
+                if sketch_keys is not None:
+                    # per-image seeds: sample each image's sketch-latent
+                    # target from its own key so the result depends only on
+                    # seed[i] (the batch-invariance the docstring promises)
+                    mean, logvar = self._sketch_moments(sketch_image)
+                    noise = jnp.stack([
+                        jax.random.normal(ks, mean.shape[1:], mean.dtype)
+                        for ks in sketch_keys])
+                    target = sample_latent(mean, logvar, noise)
+                else:
+                    target = self.encode_sketch(sketch_image, k_sketch)
+                    target = jnp.broadcast_to(target,
+                                              (batch,) + target.shape[1:])
                 fn = self._get_fn("sketch", num_inference_steps, cb_key, solver)
                 latents = fn(self.c.unet_params, self.c.lgp_vars, latents0,
                              uncond, cond, target, guidance_scale)

@@ -54,6 +54,26 @@ class InjectTrainState:
     opt_state: Any
 
 
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+def sketch_to_clip_pixels(gan_apply, gan_params, px, *,
+                          sketch_fixed_size: int = 512,
+                          clip_image_size: int = 224):
+    """anime2sketch (NO binarization, clip_guided_trainer.py:33-38) ->
+    CLIPImageProcessor parity: clip to [0,1], resize to 224 bicubic, CLIP
+    mean/std normalize (clip_guided_trainer.py:212). Single source of truth
+    for the train step AND the latent-cache precompute — they must produce
+    byte-identical sketches."""
+    raw = generate_sketch(gan_apply, gan_params, px,
+                          fixed=sketch_fixed_size, binarize=False)
+    sk = jnp.clip(raw, 0.0, 1.0)
+    sk = jax.image.resize(
+        sk, (px.shape[0], clip_image_size, clip_image_size, 3), method="cubic")
+    return (sk - jnp.asarray(CLIP_MEAN)) / jnp.asarray(CLIP_STD)
+
+
 def make_inject_train_step(
     unet_apply_injected: Callable,
     clip_vision_apply: Callable,
@@ -91,18 +111,10 @@ def make_inject_train_step(
         else:
             px = batch["pixels"]
             mean, logvar = vae_encode(frozen["vae"], px)
-
-            # CLIP-variant sketch: NO binarization (clip_guided_trainer.py:33-38)
-            raw_sketch = generate_sketch(gan_apply, frozen["gan"], px,
-                                         fixed=sketch_fixed_size, binarize=False)
-            # CLIPImageProcessor: resize to 224 + CLIP mean/std normalization
-            # of the [0,1] image (clip_guided_trainer.py:212)
-            sk01 = jnp.clip(raw_sketch, 0.0, 1.0)
-            sk = jax.image.resize(sk01, (b, clip_image_size, clip_image_size, 3),
-                                  method="cubic")
-            clip_mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
-            clip_std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
-            sk = (sk - clip_mean) / clip_std
+            sk = sketch_to_clip_pixels(
+                gan_apply, frozen["gan"], px,
+                sketch_fixed_size=sketch_fixed_size,
+                clip_image_size=clip_image_size)
         latents = (mean + jnp.exp(0.5 * logvar)
                    * jax.random.normal(r_lat, mean.shape, mean.dtype)) * SCALING_FACTOR
 

@@ -107,8 +107,9 @@ def make_lgp_train_step(
       with ``cached_latents=True`` the pixels are replaced by precomputed
       VAE moments ``latent_dist``/``sketch_latent_dist`` ((B,h,w,8) =
       mean ‖ logvar, ImageStore.cache_latents) — the GAN and both VAE
-      encodes drop out of the step while per-step latent SAMPLING stays
-      stochastic, so the training distribution is unchanged.
+      encodes drop out of the step. Per-step latent SAMPLING stays
+      stochastic; note the dataset cache fixes one crop per image
+      (ImageStore.cache_latents docstring).
     * signatures: lgp_apply(vars, feats, nl, train) -> (out, new_stats);
       unet_apply_taps(params, x, t, ctx) -> (eps, taps);
       vae_encode(params, img) -> (mean, logvar); text_apply(params, ids);

@@ -14,15 +14,18 @@ from __future__ import annotations
 
 import os
 
-_ENABLED = False
+_ENABLED_DIR = None
 
 
 def enable(cache_dir: str | None = None) -> bool:
     """Idempotently point JAX's persistent compilation cache at
-    ``cache_dir``. Returns True if the cache is active."""
-    global _ENABLED
-    if _ENABLED:
-        return True
+    ``cache_dir``. Returns True if the cache is active AT THE REQUESTED
+    location; False if disabled, or if an earlier caller already pointed
+    it at a different explicit directory (it cannot be re-pointed
+    mid-process without invalidating in-flight writes)."""
+    global _ENABLED_DIR
+    if _ENABLED_DIR is not None:
+        return cache_dir is None or cache_dir == _ENABLED_DIR
     if os.environ.get("SKETCH2IMG_NO_COMPILE_CACHE"):
         return False
 
@@ -41,5 +44,5 @@ def enable(cache_dir: str | None = None) -> bool:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         return False
-    _ENABLED = True
+    _ENABLED_DIR = cache_dir
     return True

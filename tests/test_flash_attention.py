@@ -106,6 +106,12 @@ def test_block_dispatch_table_lookup():
     # intermediate 640px sizes keep (1024,1024); exact 9216 gets (3072,1024)
     assert fa._block_sizes(6400, 6400, "fwd", 8) == (1024, 1024)
     assert fa._block_sizes(9216, 9216, "fwd", 8) == (3072, 1024)
+    # _pad_guard: tuned blocks must not force gross padding off-bucket —
+    # 704px (N=7744) falls back to 1024 q-blocks (pad 8192, not 9216), and
+    # plain 4225-4608-token self-attention must not inherit the injection
+    # bucket's 4096 q-block (pad 8192, not 5120)
+    assert fa._block_sizes(7744, 7744, "fwd", 8)[0] == 1024
+    assert fa._block_sizes(4489, 4489, "fwd", 8)[0] == 1024
     # 9216 bucket: per-kernel kinds fall back to the shared bwd entry
     assert fa._block_sizes(9216, 9216, "bwd_dkv", 8) == fa._block_sizes(
         9216, 9216, "bwd", 8)

@@ -215,12 +215,21 @@ def test_apps_importable():
 
 
 def test_per_image_seeds_are_batch_invariant(tiny_components):
-    """Serving extension: seed lists make image i depend only on seed[i]."""
+    """Serving extension: seed lists make image i depend only on seed[i] —
+    including the sketch-guided path, whose VAE sketch-latent target is
+    sampled per image from its own key."""
     pipe = SketchGuidedPipeline(tiny_components)
     both = pipe(["a", "b"], num_inference_steps=2, width=128, height=128,
                 seed=[11, 22])
     solo = pipe(["b"], num_inference_steps=2, width=128, height=128,
                 seed=[22])
+    np.testing.assert_allclose(np.asarray(both[1]), np.asarray(solo[0]),
+                               rtol=1e-5, atol=1e-5)
+    sketch = np.ones((128, 128), np.float32)
+    both = pipe(["a", "b"], num_inference_steps=2, width=128, height=128,
+                seed=[11, 22], sketch_image=sketch)
+    solo = pipe(["b"], num_inference_steps=2, width=128, height=128,
+                seed=[22], sketch_image=sketch)
     np.testing.assert_allclose(np.asarray(both[1]), np.asarray(solo[0]),
                                rtol=1e-5, atol=1e-5)
     with pytest.raises(ValueError):
