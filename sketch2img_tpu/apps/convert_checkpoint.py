@@ -28,13 +28,10 @@ def main():
     c.save_native(args.output)
 
     if args.netg:
-        import torch
+        from sketch2img_tpu.models.anime2sketch import load_torch_anime2sketch
 
-        from sketch2img_tpu.models.anime2sketch import convert_torch_anime2sketch
-
-        sd = torch.load(args.netg, map_location="cpu", weights_only=True)
         export_params_npz(os.path.join(args.output, "anime2sketch.npz"),
-                          convert_torch_anime2sketch(sd))
+                          load_torch_anime2sketch(args.netg))
 
     print(f"wrote native checkpoint to {args.output}")
 

@@ -27,12 +27,11 @@ def pic2sketch(gan_apply, gan_params, image, load_size: int = 768):
 
 
 def main():
-    import torch
     from PIL import Image
 
     from sketch2img_tpu.models.anime2sketch import (
-        convert_torch_anime2sketch,
         create_anime2sketch,
+        load_torch_anime2sketch,
     )
 
     parser = argparse.ArgumentParser()
@@ -42,8 +41,7 @@ def main():
     parser.add_argument("--load_size", type=int, default=512)
     args = parser.parse_args()
 
-    sd = torch.load(args.weights, map_location="cpu", weights_only=True)
-    params = convert_torch_anime2sketch(sd)
+    params = load_torch_anime2sketch(args.weights)
     gan = create_anime2sketch()
 
     import jax

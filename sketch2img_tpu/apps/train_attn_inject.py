@@ -32,7 +32,7 @@ def main():
     from sketch2img_tpu.core.convert import convert_torch_clip_vision
     from sketch2img_tpu.data import ImageStore, Loader
     from sketch2img_tpu.models.anime2sketch import (
-        convert_torch_anime2sketch,
+        load_torch_anime2sketch,
         create_anime2sketch,
     )
     from sketch2img_tpu.models.clip_vision import CLIPVisionEncoder
@@ -81,8 +81,11 @@ def main():
 
     clip = CLIPVisionEncoder(compute_dtype=jnp.bfloat16)
     if args.clip_vision:
+        from sketch2img_tpu.core.manifest import strict_convert
+
         sd = torch.load(args.clip_vision, map_location="cpu", weights_only=True)
-        clip_params = convert_torch_clip_vision(sd)
+        clip_params = strict_convert(convert_torch_clip_vision, sd,
+                                     what="clip_vision")
     else:
         clip_params = clip.init(jax.random.PRNGKey(0),
                                 jnp.zeros((1, 224, 224, 3)))["params"]
@@ -96,8 +99,7 @@ def main():
                     process_index=jax.process_index(),
                     process_count=jax.process_count())
 
-    netg_sd = torch.load(args.netg, map_location="cpu", weights_only=True)
-    gan_params = convert_torch_anime2sketch(netg_sd)
+    gan_params = load_torch_anime2sketch(args.netg)
     gan = create_anime2sketch()
 
     max_train_steps = config.train_epochs * len(loader)

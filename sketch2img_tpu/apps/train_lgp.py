@@ -28,13 +28,12 @@ def parse_args():
 def main():
     import jax
     import jax.numpy as jnp
-    import torch
     from tqdm import tqdm
 
     from sketch2img_tpu.core.config import load_config
     from sketch2img_tpu.data import ImageStore, Loader
     from sketch2img_tpu.models.anime2sketch import (
-        convert_torch_anime2sketch,
+        load_torch_anime2sketch,
         create_anime2sketch,
     )
     from sketch2img_tpu.models.lgp import LatentEdgePredictor
@@ -90,8 +89,7 @@ def main():
         loader_len = len(loader)
 
     # sketch generator (trainer.py:113-116)
-    netg_sd = torch.load(args.netg, map_location="cpu", weights_only=True)
-    gan_params = convert_torch_anime2sketch(netg_sd)
+    gan_params = load_torch_anime2sketch(args.netg)
     gan = create_anime2sketch()
 
     # LGP (trainer.py:110-111: 9320 -> 4, 9 octaves), fp32 like the reference

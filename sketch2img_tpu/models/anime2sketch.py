@@ -152,10 +152,12 @@ def convert_torch_anime2sketch(state_dict, num_downs: int = 8) -> dict:
         v = state_dict[k]
         return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
 
-    sd = {}
-    for k in list(state_dict.keys()):
-        sd[k.replace("module.", "")] = state_dict[k]
-    state_dict = sd
+    if any(k.startswith("module.") for k in state_dict):
+        # DataParallel-saved checkpoint (model.py:110-115). Read-through
+        # view keeps strict-mode consumption tracking (core/manifest.py).
+        from sketch2img_tpu.core.manifest import PrefixStripView
+
+        state_dict = PrefixStripView(state_dict, "module.")
 
     def conv_w(k):  # torch (O,I,kh,kw) -> flax (kh,kw,I,O)
         return arr(k).transpose(2, 3, 1, 0)
@@ -187,3 +189,19 @@ def convert_torch_anime2sketch(state_dict, num_downs: int = 8) -> dict:
         return out
 
     return {"model": build("model.model", 0)}
+
+
+def load_torch_anime2sketch(path: str, num_downs: int = 8,
+                            strict: bool = True) -> dict:
+    """Load ``netG.pth`` (trainer.py:114) into Flax params. ``strict``
+    (default) errors on missing/unknown keys — the published inventory is
+    assets/manifests/netG.json."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if strict:
+        from sketch2img_tpu.core.manifest import strict_convert
+
+        return strict_convert(convert_torch_anime2sketch, sd,
+                              what="netG", num_downs=num_downs)
+    return convert_torch_anime2sketch(sd, num_downs=num_downs)

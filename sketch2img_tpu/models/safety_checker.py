@@ -133,12 +133,11 @@ def convert_torch_safety_checker(state_dict, num_layers: int = 24) -> SafetyChec
         return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
 
     # the checker nests a CLIPVisionModel at `vision_model.` — strip one
-    # level and reuse the CLIP vision converter
-    inner = {
-        k[len("vision_model."):]: v
-        for k, v in state_dict.items()
-        if k.startswith("vision_model.")
-    }
+    # level (read-through view: keeps strict-mode consumption tracking,
+    # core/manifest.py) and reuse the CLIP vision converter
+    from sketch2img_tpu.core.manifest import PrefixStripView
+
+    inner = PrefixStripView(state_dict, "vision_model.")
     vision = convert_torch_clip_vision(inner, num_layers=num_layers)
     p = "vision_model." if any(k.startswith("vision_model.vision_model.")
                                for k in state_dict) else ""

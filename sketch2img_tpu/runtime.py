@@ -85,6 +85,7 @@ class SDComponents:
         vae_config=SD15_VAE_CONFIG,
         text_config=SD15_TEXT_CONFIG,
         safety_checker: bool = True,
+        strict: bool = True,
     ) -> "SDComponents":
         """Load a diffusers-format SD1.x model directory (the reference's
         ``StableDiffusionPipeline.from_pretrained(config.model_path)``,
@@ -92,7 +93,19 @@ class SDComponents:
 
         ``safety_checker=True`` (default, reference parity: the stock
         pipeline runs one per generation, modules/pipeline.py:121) loads
-        ``<model_path>/safety_checker`` when present; pass False to skip."""
+        ``<model_path>/safety_checker`` when present; pass False to skip.
+
+        ``strict=True`` (default) requires each converter to consume every
+        checkpoint key and errors on missing/unknown keys (the committed
+        key inventories live in assets/manifests/); ``strict=False`` loads
+        whatever matches."""
+        from sketch2img_tpu.core.manifest import strict_convert
+
+        def _convert(fn, sd, what, *a, **kw):
+            if strict:
+                return strict_convert(fn, sd, *a, what=what, **kw)
+            return fn(sd, *a, **kw)
+
         unet_sd = _load_state_dict(
             os.path.join(model_path, "unet", "diffusion_pytorch_model")
         )
@@ -110,9 +123,12 @@ class SDComponents:
             unet=UNet2DCondition(unet_config, compute_dtype=compute_dtype),
             vae=AutoencoderKL(vae_config, compute_dtype=compute_dtype),
             text_encoder=CLIPTextEncoder(text_config, compute_dtype=compute_dtype),
-            unet_params=convert_torch_unet(unet_sd, unet_config),
-            vae_params=convert_torch_vae(vae_sd, vae_config),
-            text_params=convert_torch_clip_text(text_sd, num_layers=text_config.num_layers),
+            unet_params=_convert(convert_torch_unet, unet_sd, "unet",
+                                 unet_config),
+            vae_params=_convert(convert_torch_vae, vae_sd, "vae", vae_config),
+            text_params=_convert(convert_torch_clip_text, text_sd,
+                                 "text_encoder",
+                                 num_layers=text_config.num_layers),
             schedule=make_schedule(),
             tokenizer=tokenizer,
         )
@@ -120,11 +136,12 @@ class SDComponents:
             c.load_safety_checker(
                 os.path.join(model_path, "safety_checker"),
                 compute_dtype=compute_dtype,
+                strict=strict,
             )
         return c
 
     def load_safety_checker(self, path: str, *, compute_dtype=jnp.bfloat16,
-                            vision_config=None) -> None:
+                            vision_config=None, strict: bool = True) -> None:
         """Load the diffusers ``safety_checker/`` weights (dir or file) and
         enable per-generation NSFW checking (modules/pipeline.py:121).
         ``vision_config`` defaults to the shipped checker's ViT-L/14 tower."""
@@ -141,9 +158,17 @@ class SDComponents:
         ):
             base = os.path.join(path, "pytorch_model")
         sd = _load_state_dict(base)
-        self.safety_params = convert_torch_safety_checker(
-            sd, num_layers=cfg.num_layers
-        )
+        if strict:
+            from sketch2img_tpu.core.manifest import strict_convert
+
+            self.safety_params = strict_convert(
+                convert_torch_safety_checker, sd, what="safety_checker",
+                num_layers=cfg.num_layers,
+            )
+        else:
+            self.safety_params = convert_torch_safety_checker(
+                sd, num_layers=cfg.num_layers
+            )
         _, self.safety_run = make_safety_checker(cfg, compute_dtype=compute_dtype)
 
     @classmethod
@@ -188,13 +213,21 @@ class SDComponents:
             schedule=make_schedule(),
         )
 
-    def load_lgp_torch(self, path: str, compute_dtype=jnp.float32) -> None:
+    def load_lgp_torch(self, path: str, compute_dtype=jnp.float32,
+                       strict: bool = True) -> None:
         """Load the published ``edge_predictor.pt`` (app.py:67-68,
-        README.md:20) into the Flax LGP."""
+        README.md:20) into the Flax LGP. ``strict`` (default) errors on
+        missing/unknown keys (assets/manifests/edge_predictor.json)."""
         import torch
 
         sd = torch.load(path, map_location="cpu", weights_only=True)
-        params, stats = convert_torch_lgp(sd)
+        if strict:
+            from sketch2img_tpu.core.manifest import strict_convert
+
+            params, stats = strict_convert(convert_torch_lgp, sd,
+                                           what="edge_predictor")
+        else:
+            params, stats = convert_torch_lgp(sd)
         self.lgp = LatentEdgePredictor(compute_dtype=compute_dtype)
         self.lgp_vars = {"params": params, "batch_stats": stats}
 
@@ -352,11 +385,11 @@ class SketchGuidedPipeline:
             uncond = jnp.repeat(uncond, num_images_per_prompt, axis=0)
         return uncond, cond
 
-    def _sketch_moments(self, sketch01: np.ndarray):
-        """Sketchpad [0,1] -> VAE (mean, logvar) moments (app.py:106-109:
-        normalize to [-1,1], tile grayscale to 3ch, encode). Accepts (H,W)
-        or (H,W,1) grayscale — tiled like the reference — or an already-RGB
-        (H,W,3) array, passed through."""
+    @staticmethod
+    def _norm_sketch(sketch01: np.ndarray) -> np.ndarray:
+        """One sketchpad [0,1] -> (H,W,3) in [-1,1] (app.py:106-109:
+        normalize, tile grayscale to 3ch). Accepts (H,W) or (H,W,1)
+        grayscale — tiled like the reference — or already-RGB (H,W,3)."""
         arr = np.asarray(sketch01, np.float32)
         if arr.ndim == 2:
             arr = arr[:, :, None]
@@ -366,7 +399,24 @@ class SketchGuidedPipeline:
             raise ValueError(
                 f"sketch_image must be (H,W), (H,W,1) or (H,W,3); got {arr.shape}"
             )
-        arr = ((arr - 0.5) / 0.5)[None]
+        return (arr - 0.5) / 0.5
+
+    def _sketch_moments(self, sketch01):
+        """Sketchpad(s) [0,1] -> VAE (mean, logvar) moments. ``sketch01``
+        may be one array (leading dim 1 out — one sketch conditions the
+        whole batch, the reference demo surface app.py:104-109) or a list
+        of per-image sketches (serving extension: leading dim = len(list);
+        all must share one resolution — one XLA program per size)."""
+        if isinstance(sketch01, (list, tuple)):
+            arrs = [self._norm_sketch(s) for s in sketch01]
+            shapes = {a.shape for a in arrs}
+            if len(shapes) != 1:
+                raise ValueError(
+                    f"per-image sketches must share one resolution, got {shapes}"
+                )
+            arr = np.stack(arrs)
+        else:
+            arr = self._norm_sketch(sketch01)[None]
         return self.c.vae_encode_moments(self.c.vae_params, jnp.asarray(arr))
 
     def encode_sketch(self, sketch01: np.ndarray, rng: jax.Array) -> jnp.ndarray:
@@ -430,8 +480,11 @@ class SketchGuidedPipeline:
 
         ``callback(i, t, latents)`` fires every ``callback_steps`` solver
         steps with the host-fetched (B, h, w, 4) latents (pipeline.py:34-35).
-        One sketch image conditions the whole batch (the demo surface has a
-        single sketchpad, app.py:104-109).
+        ``sketch_image`` is either one array — conditioning the whole batch,
+        the reference demo surface (single sketchpad, app.py:104-109) — or a
+        list of B arrays, one per batch image (serving extension: lets the
+        micro-batcher merge requests with different sketches; the pipeline
+        fn always took per-image (B,h,w,4) targets).
 
         ``solver`` selects the sampler: "dpm++" (DPM-Solver++ 2M, the
         reference demo's choice, app.py:14-25) or "ddim" (deterministic
@@ -479,19 +532,28 @@ class SketchGuidedPipeline:
         cb_key = callback_steps if callback is not None else None
         try:
             if sketch_image is not None:
+                if (isinstance(sketch_image, (list, tuple))
+                        and len(sketch_image) != batch):
+                    raise ValueError(
+                        f"got {len(sketch_image)} sketches for a batch of "
+                        f"{batch}")
                 if sketch_keys is not None:
                     # per-image seeds: sample each image's sketch-latent
                     # target from its own key so the result depends only on
-                    # seed[i] (the batch-invariance the docstring promises)
+                    # (seed[i], sketch[i]) — the batch invariance that lets
+                    # serving merge unrelated requests
                     mean, logvar = self._sketch_moments(sketch_image)
                     noise = jnp.stack([
                         jax.random.normal(ks, mean.shape[1:], mean.dtype)
                         for ks in sketch_keys])
                     target = sample_latent(mean, logvar, noise)
                 else:
-                    target = self.encode_sketch(sketch_image, k_sketch)
-                    target = jnp.broadcast_to(target,
-                                              (batch,) + target.shape[1:])
+                    mean, logvar = self._sketch_moments(sketch_image)
+                    noise = jax.random.normal(k_sketch, mean.shape,
+                                              mean.dtype)
+                    target = sample_latent(mean, logvar, noise)
+                    target = jnp.broadcast_to(
+                        target, (batch,) + target.shape[1:])
                 fn = self._get_fn("sketch", num_inference_steps, cb_key, solver)
                 latents = fn(self.c.unet_params, self.c.lgp_vars, latents0,
                              uncond, cond, target, guidance_scale)
