@@ -35,7 +35,6 @@ from __future__ import annotations
 
 import argparse
 import base64
-import hashlib
 import io
 import json
 import queue
@@ -69,13 +68,15 @@ def _snap(v, lo=64, hi=1024, step=8) -> int:
 class _Batcher:
     """Cross-request micro-batching.
 
-    Per-image seed lists make batched results identical to single-request
-    results (runtime.SketchGuidedPipeline seed semantics), so compatible
-    requests — same (steps, size, guidance, solver, negative, sketch),
-    single prompt, one image — arriving within ``window_s`` merge into one
-    pipeline call. Measured on v5e: batch-2 guided serving runs each image
-    ~4.5% cheaper than batch-1 (README batched table), and batching holds
-    the chip at one program instead of queueing full generations.
+    Per-image seed lists AND per-image sketch lists make batched results
+    identical to single-request results (runtime.SketchGuidedPipeline seed /
+    sketch_image semantics), so compatible requests — same (steps, size,
+    guidance, solver, negative, sketch-or-not), single prompt, one image —
+    arriving within ``window_s`` merge into one pipeline call, each request
+    keeping its OWN sketch. Measured on v5e: batch-2 guided serving runs
+    each image ~4.5% cheaper than batch-1 (README batched table), and
+    batching holds the chip at one program instead of queueing full
+    generations.
     """
 
     def __init__(self, pipe, lock, window_s: float, max_batch: int,
@@ -89,8 +90,8 @@ class _Batcher:
         self.calls = 0  # observability + tests
         threading.Thread(target=self._run, daemon=True).start()
 
-    def submit(self, params: dict, sketch, sketch_key):
-        item = {"params": params, "sketch": sketch, "sketch_key": sketch_key,
+    def submit(self, params: dict, sketch):
+        item = {"params": params, "sketch": sketch,
                 "event": threading.Event()}
         self.q.put(item)
         item["event"].wait()
@@ -100,10 +101,14 @@ class _Batcher:
 
     @staticmethod
     def _key(it):
+        # sketch CONTENT is per-image (the pipeline takes one sketch per
+        # batch entry) — only sketch-vs-no-sketch and the sketch resolution
+        # select a different XLA program, so only those gate merging
         p = it["params"]
+        sk = it["sketch"]
         return (p["num_inference_steps"], p["width"], p["height"],
                 p["guidance_scale"], p["solver"], p["negative_prompt"],
-                it["sketch_key"])
+                None if sk is None else sk.shape)
 
     def _run(self):
         while True:
@@ -133,6 +138,7 @@ class _Batcher:
                     key = str(len(items))
                     self.metrics["batch_sizes"][key] = (
                         self.metrics["batch_sizes"].get(key, 0) + 1)
+            sketches = [it["sketch"] for it in items]
             with self.lock:
                 self.calls += 1
                 imgs = self.pipe(
@@ -142,7 +148,7 @@ class _Batcher:
                     guidance_scale=p0["guidance_scale"],
                     width=p0["width"], height=p0["height"],
                     seed=seeds,
-                    sketch_image=items[0]["sketch"],
+                    sketch_image=(None if sketches[0] is None else sketches),
                     solver=p0["solver"],
                 )
                 flags = self.pipe.last_nsfw_flags
@@ -237,9 +243,7 @@ class GenerateHandler(BaseHTTPRequestHandler):
                 # deterministic per request; per-image seed lists make
                 # the result independent of what it gets batched with
                 params["seed"] = seed or int(np.random.randint(1, 2**31 - 1))
-                sketch_key = (hashlib.sha1(b64.encode()).hexdigest()
-                              if b64 else None)
-                imgs, nsfw = self.batcher.submit(params, sketch, sketch_key)
+                imgs, nsfw = self.batcher.submit(params, sketch)
             else:
                 with self.lock:
                     imgs = self.pipe(num_images_per_prompt=n_per,

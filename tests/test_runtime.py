@@ -237,6 +237,42 @@ def test_per_image_seeds_are_batch_invariant(tiny_components):
              seed=[1])
 
 
+def test_per_image_sketches_are_batch_invariant(tiny_components):
+    """Serving extension (VERDICT r2 item 2): a LIST of sketches gives each
+    batch image its own conditioning target, and image i depends only on
+    (seed[i], sketch[i]) — so the batcher may merge different-sketch
+    requests without any cross-request leakage."""
+    pipe = SketchGuidedPipeline(tiny_components)
+    rng = np.random.default_rng(7)
+    s_a = rng.random((128, 128)).astype(np.float32)
+    s_b = rng.random((128, 128)).astype(np.float32)
+
+    both = pipe(["a", "b"], num_inference_steps=2, width=128, height=128,
+                seed=[11, 22], sketch_image=[s_a, s_b])
+    solo_b = pipe(["b"], num_inference_steps=2, width=128, height=128,
+                  seed=[22], sketch_image=[s_b])
+    np.testing.assert_allclose(np.asarray(both[1]), np.asarray(solo_b[0]),
+                               rtol=1e-5, atol=1e-5)
+    # and the sketch actually matters: swapping image 1's sketch changes it
+    swapped = pipe(["a", "b"], num_inference_steps=2, width=128, height=128,
+                   seed=[11, 22], sketch_image=[s_a, s_a])
+    assert np.abs(np.asarray(swapped[1]) - np.asarray(both[1])).max() > 1e-6
+
+    # single-seed + sketch list: each image still gets its own target
+    lst = pipe(["a", "b"], num_inference_steps=2, width=128, height=128,
+               seed=9, sketch_image=[s_a, s_b])
+    rep = pipe(["a", "b"], num_inference_steps=2, width=128, height=128,
+               seed=9, sketch_image=[s_a, s_a])
+    assert np.abs(np.asarray(lst[1]) - np.asarray(rep[1])).max() > 1e-6
+
+    with pytest.raises(ValueError):  # wrong list length
+        pipe(["a", "b"], num_inference_steps=2, width=128, height=128,
+             seed=[1, 2], sketch_image=[s_a])
+    with pytest.raises(ValueError):  # mismatched resolutions
+        pipe(["a", "b"], num_inference_steps=2, width=128, height=128,
+             seed=[1, 2], sketch_image=[s_a, s_b[:64, :64]])
+
+
 def test_ddim_solver_end_to_end(tiny_components):
     """Pipeline-level solver choice (reference runs whatever diffusers
     scheduler it's constructed with; demo default is DPM-Solver++)."""

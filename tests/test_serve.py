@@ -168,10 +168,10 @@ def test_metrics_endpoint(server):
     assert m["latency_p50_s"] > 0
 
 
-def test_micro_batching_never_mixes_sketches(server):
-    """Requests with different sketches are incompatible: they must be
-    processed as separate pipeline calls (one sketch conditions a whole
-    batch), while same-sketch requests may merge."""
+def test_micro_batching_merges_different_sketches(server):
+    """Requests with DIFFERENT sketches merge into one pipeline call — the
+    pipeline takes one sketch per batch image — and each response equals a
+    solo run with the same (seed, sketch): nothing leaks across requests."""
     import io as _io
 
     from PIL import Image
@@ -185,28 +185,48 @@ def test_micro_batching_never_mixes_sketches(server):
     t = threading.Thread(target=bsrv.serve_forever, daemon=True)
     t.start()
     try:
-        def sketch_b64(val):
+        rng = np.random.default_rng(0)
+        sketches = {name: rng.integers(0, 256, (128, 128),
+                                       dtype=np.uint8).astype(np.uint8)
+                    for name in ("cat", "dog")}
+
+        def sketch_b64(arr):
             buf = _io.BytesIO()
-            Image.fromarray(np.full((128, 128), val, np.uint8)).save(
-                buf, format="PNG")
+            Image.fromarray(arr).save(buf, format="PNG")
             return base64.b64encode(buf.getvalue()).decode()
 
-        statuses = []
+        results = {}
 
-        def fire(seed, b64):
-            resp, _ = _request(bsrv, "POST", "/generate", {
-                "prompt": "a cat", "num_inference_steps": 2,
+        def fire(name, seed):
+            resp, data = _request(bsrv, "POST", "/generate", {
+                "prompt": f"a {name}", "num_inference_steps": 2,
                 "width": 128, "height": 128, "seed": seed,
-                "sketch_png_b64": b64,
+                "sketch_png_b64": sketch_b64(sketches[name]),
+                "response": "json",
             })
-            statuses.append(resp.status)
+            results[name] = (resp.status, json.loads(data))
 
         calls0 = bsrv.handler_class.batcher.calls
-        t1 = threading.Thread(target=fire, args=(1, sketch_b64(255)))
-        t2 = threading.Thread(target=fire, args=(2, sketch_b64(0)))
+        t1 = threading.Thread(target=fire, args=("cat", 11))
+        t2 = threading.Thread(target=fire, args=("dog", 22))
         t1.start(); t2.start(); t1.join(); t2.join()
-        assert statuses == [200, 200]
-        # different sketch hashes -> two separate pipeline calls
-        assert bsrv.handler_class.batcher.calls == calls0 + 2
+        assert results["cat"][0] == 200 and results["dog"][0] == 200
+        # different sketches now merge: ONE pipeline call
+        assert bsrv.handler_class.batcher.calls == calls0 + 1
+
+        # per-request isolation: each batched image equals the solo run
+        # with its own (seed, sketch)
+        for name, seed in (("cat", 11), ("dog", 22)):
+            solo = pipe([f"a {name}"], num_inference_steps=2,
+                        width=128, height=128, seed=[seed],
+                        sketch_image=[sketches[name].astype(np.float32) / 255.0])
+            got = np.asarray(Image.open(_io.BytesIO(
+                base64.b64decode(results[name][1]["images"][0]))))
+            want = (np.clip(np.asarray(solo[0]), 0, 1) * 255).astype(np.uint8)
+            diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+            # seed/sketch-exact; bs2 vs bs1 XLA programs may round a few
+            # pixels one step apart (fusion order)
+            assert diff.max() <= 1 and (diff > 0).mean() < 1e-3, (
+                name, diff.max(), (diff > 0).mean())
     finally:
         bsrv.shutdown()
