@@ -10,6 +10,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+from sketch2img_tpu.core.schedulers import make_sampler_step
 from sketch2img_tpu.core import (
     make_schedule,
     add_noise,
@@ -171,3 +172,62 @@ def test_dpm_plan_first_order_entries(sched):
     p50 = plan_dpm_solver(sched, 50)
     assert p50.c_m1[0] == 0.0
     assert np.all(p50.c_m1[1:] != 0.0)  # 50 >= 15: final step stays 2nd order
+
+
+# ---------------------------------------------------------------------------
+# committed golden fixtures (tests/fixtures/scheduler_golden.json) — values
+# derived by tools/gen_scheduler_fixtures.py from a STATEFUL sample-space
+# transcription of the diffusers semantics (provenance in the file's _meta),
+# with coefficients probed via basis inputs rather than restated algebra.
+# Any drift in timesteps, per-step coefficients, or an end-to-end solver
+# trajectory fails here against committed data. (VERDICT r2 item 7)
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+
+_FIXTURES = _os.path.join(_os.path.dirname(__file__), "fixtures",
+                          "scheduler_golden.json")
+
+
+def _golden():
+    with open(_FIXTURES) as f:
+        return _json.load(f)
+
+
+@pytest.mark.parametrize("num_steps", [10, 20, 25, 50])
+def test_dpm_plan_matches_committed_golden_tables(sched, num_steps):
+    g = _golden()[f"dpmpp_{num_steps}"]
+    p = plan_dpm_solver(sched, num_steps)
+    assert p.timesteps.tolist() == g["timesteps"]
+    coeffs = np.asarray(g["coefficients_c_x_c_m0_c_m1"], np.float64)
+    np.testing.assert_allclose(p.c_x, coeffs[:, 0], rtol=0, atol=5e-5)
+    np.testing.assert_allclose(p.c_m0, coeffs[:, 1], rtol=0, atol=5e-5)
+    np.testing.assert_allclose(p.c_m1, coeffs[:, 2], rtol=0, atol=5e-5)
+
+
+@pytest.mark.parametrize("num_steps", [10, 25, 50])
+def test_ddim_timesteps_match_committed_golden(sched, num_steps):
+    g = _golden()[f"ddim_{num_steps}"]
+    p = plan_ddim(sched, num_steps)
+    assert p.timesteps.tolist() == g["timesteps"]
+
+
+@pytest.mark.parametrize("solver,key", [("dpm++", "dpmpp"), ("ddim", "ddim")])
+@pytest.mark.parametrize("num_steps", [10, 25, 50])
+def test_solver_trajectory_matches_committed_golden(sched, solver, key,
+                                                    num_steps):
+    """Replay the fixture's synthetic model (eps = sin(1.7x + 0.01t), fp64)
+    through the production sampler step; every intermediate latent must
+    match the committed fp64 trajectory to fp32 tolerance."""
+    g = _golden()
+    fx = g[f"{key}_{num_steps}"]
+    x = jnp.asarray(g["_meta"]["x_init"], jnp.float32)
+    ts, step = make_sampler_step(solver, sched, num_steps)
+    assert list(ts) == fx["timesteps"]
+    x0_prev = jnp.zeros_like(x)
+    for i, t in enumerate(ts):
+        eps = jnp.sin(1.7 * x + 0.01 * float(t))
+        x, x0_prev = step(i, x, eps, x0_prev)
+        want = np.asarray(fx["trajectory"][i], np.float64)
+        np.testing.assert_allclose(np.asarray(x), want, rtol=2e-4, atol=2e-4)
