@@ -21,4 +21,4 @@ Mikubill/sketch2img (sketch-guided Stable Diffusion without retraining):
 * ``apps``      — demo / evaluation entry points mirroring the reference CLI.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"

@@ -15,11 +15,12 @@ from typing import Any, Optional
 
 import jax
 import numpy as np
-import orbax.checkpoint as ocp
 
 
 def save_train_state(directory: str, step: int, state: Any, keep: int = 3) -> str:
     """Save the pytree ``state`` under ``directory/step_<N>``; prune old."""
+    import orbax.checkpoint as ocp  # train extra (pyproject [train])
+
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"step_{step:08d}")
@@ -46,6 +47,8 @@ def latest_checkpoint(directory: str) -> Optional[str]:
 
 def restore_train_state(path: str, template: Any) -> Any:
     """Restore into the structure/shardings of ``template``."""
+    import orbax.checkpoint as ocp  # train extra (pyproject [train])
+
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, template)
 
