@@ -122,3 +122,60 @@ def test_tp_flash_shard_map_matches_xla():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(fb), np.asarray(fb_want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_guided_vjp_under_tensor_parallel():
+    """VERDICT r2 item 5 / SURVEY §7 hard-part 1: the flagship program —
+    make_sketch_guided_fn's vjp through the tapped UNet — must compile and
+    run under GSPMD on a (data=4, model=2) mesh with Megatron-sharded
+    attention projections, and match the replicated result. This is the
+    HBM escape hatch for scaling past one chip; it must not be fictional."""
+    from sketch2img_tpu.core.schedulers import make_schedule
+    from sketch2img_tpu.models.lgp import LatentEdgePredictor
+    from sketch2img_tpu.pipelines.sketch_guided import make_sketch_guided_fn
+
+    # 4-block tiny config so all nine LGP taps exist (tap channels = 480)
+    cfg = UNetConfig(block_out_channels=(32, 32, 64, 64),
+                     cross_attn=(True, True, True, False),
+                     num_heads=2, cross_attention_dim=32)
+    unet = UNet2DCondition(cfg)
+    tap_ch = 480
+    lgp = LatentEdgePredictor(input_dim=tap_ch + 4 + 36, output_dim=4,
+                              num_layers=9)
+
+    k = jax.random.PRNGKey(0)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(k, 6)
+    params = unet.init(k1, jnp.zeros((1, 16, 16, 4)),
+                       jnp.zeros((1,), jnp.int32),
+                       jnp.zeros((1, 7, 32)))["params"]
+    lgp_vars = lgp.init(k2, jnp.zeros((1, 16, 16, tap_ch)),
+                        jnp.zeros((1, 16, 16, 4)), train=False)
+
+    sched = make_schedule()
+    fn = make_sketch_guided_fn(
+        lambda p, x, t, c: unet.apply({"params": p}, x, t, c),
+        lambda p, x, t, c: unet.apply({"params": p}, x, t, c,
+                                      capture_taps=True),
+        lambda v, f, nl: lgp.apply(v, f, nl, train=False),
+        sched, num_steps=3,
+    )
+
+    b = 4
+    lat0 = jax.random.normal(k3, (b, 16, 16, 4))
+    uncond = jax.random.normal(k4, (b, 7, 32)) * 0.1
+    cond = jax.random.normal(k5, (b, 7, 32)) * 0.1
+    target = jax.random.normal(k6, (b, 16, 16, 4))
+
+    want = np.asarray(jax.jit(fn)(params, lgp_vars, lat0, uncond, cond,
+                                  target, 7.5), np.float32)
+
+    mesh = make_mesh(jax.devices()[:8], model_parallel=2)  # data=4, model=2
+    params_tp = shard_params_tp(mesh, params)
+    rep = NamedSharding(mesh, P())
+    lgp_tp = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep),
+                                    lgp_vars)
+    args = [jax.device_put(a, batch_sharding(mesh, a.ndim))
+            for a in (lat0, uncond, cond, target)]
+    got = np.asarray(jax.jit(fn)(params_tp, lgp_tp, *args, 7.5), np.float32)
+
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
