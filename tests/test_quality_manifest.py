@@ -1,0 +1,61 @@
+"""Committed tiny-mode quality manifest: regenerating the fixed-seed image
+grid (all three pipelines x both solvers x batch>1 x batcher invariance)
+must reproduce tests/fixtures/quality_manifest_tiny.json bit-for-bit —
+any refactor that changes pipeline outputs is hash-caught (VERDICT r2
+item 8; the reference's analog fixture is evaluation.py:88-106).
+
+Hash comparisons are skipped (stats still checked) when the recorded
+toolchain differs — across jax/XLA versions fused programs legitimately
+round differently; within one toolchain the hashes are exact."""
+
+import json
+import os
+import sys
+
+import pytest
+
+import jax
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
+                       "quality_manifest_tiny.json")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+
+@pytest.fixture(scope="module")
+def regenerated():
+    import quality_check as qc
+
+    pipe = qc._tiny_pipe()
+    injected = qc.make_tiny_injected(pipe.c)
+    return qc.run_tiny_cases(pipe, injected), qc.environment()
+
+
+def test_tiny_quality_manifest_reproduces(regenerated):
+    results, env = regenerated
+    with open(FIXTURE) as f:
+        want = json.load(f)
+
+    assert set(results) == set(want["results"]), (
+        sorted(set(results) ^ set(want["results"])))
+    # the merge-safety property must hold regardless of toolchain
+    assert results["batcher_invariance"]["matches_batched"]
+
+    same_toolchain = (want["environment"]["jax"] == jax.__version__
+                      and want["environment"]["backend"]
+                      == jax.default_backend())
+    mismatches = []
+    for name, got in results.items():
+        exp = want["results"][name]
+        if same_toolchain:
+            if exp["sha256"] != got["sha256"]:
+                mismatches.append((name, exp, got))
+        else:
+            # different toolchain: allow rounding-level drift, catch real
+            # behavior changes via image statistics
+            assert abs(exp["mean"] - got["mean"]) < 2.0, (name, exp, got)
+            assert abs(exp["std"] - got["std"]) < 2.0, (name, exp, got)
+    assert not mismatches, mismatches
+    if not same_toolchain:
+        pytest.skip(f"hash check skipped: manifest from "
+                    f"{want['environment']}, now jax {jax.__version__}")

@@ -73,6 +73,15 @@ def _tiny_pipe():
     return SketchGuidedPipeline(c)
 
 
+def _digest(img) -> dict:
+    u8 = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
+    return {
+        "sha256": hashlib.sha256(u8.tobytes()).hexdigest(),
+        "mean": round(float(u8.mean()), 3),
+        "std": round(float(u8.std()), 3),
+    }
+
+
 def run_cases(pipe, size_override=None, steps_override=None):
     results = {}
     for name, prompt, seed, steps, size, solver, sketch in CASES:
@@ -81,12 +90,106 @@ def run_cases(pipe, size_override=None, steps_override=None):
         sk = np.ones((size, size, 3), np.float32) if sketch else None
         img = pipe(prompt, num_inference_steps=steps, width=size, height=size,
                    seed=seed, solver=solver, sketch_image=sk)
-        u8 = (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
-        results[name] = {
-            "sha256": hashlib.sha256(u8.tobytes()).hexdigest(),
-            "mean": round(float(u8.mean()), 3),
-            "std": round(float(u8.std()), 3),
-        }
+        results[name] = _digest(img)
+    return results
+
+
+def run_tiny_cases(pipe, injected=None, size=128, steps=2):
+    """Full tiny-mode coverage (VERDICT r2 item 8): all three pipelines x
+    both solvers x batch>1 x batcher invariance, one hash per case."""
+    results = {}
+    rng = np.random.default_rng(0)
+    sk_a = rng.random((size, size)).astype(np.float32)
+    sk_b = rng.random((size, size)).astype(np.float32)
+
+    for solver in ("dpm++", "ddim"):
+        tag = solver.replace("++", "pp")
+        results[f"text2img_{tag}"] = _digest(
+            pipe("a watercolor fox", num_inference_steps=steps, width=size,
+                 height=size, seed=1234, solver=solver))
+        results[f"sketch_guided_{tag}"] = _digest(
+            pipe("1girl, masterpiece", num_inference_steps=steps, width=size,
+                 height=size, seed=42, solver=solver, sketch_image=sk_a))
+
+    # batch > 1 with per-image seeds AND per-image sketches
+    batched = pipe(["a fox", "a cat"], num_inference_steps=steps, width=size,
+                   height=size, seed=[11, 22], sketch_image=[sk_a, sk_b])
+    results["sketch_guided_batch2"] = _digest(batched)
+
+    # micro-batcher invariance: the batched second image must equal the
+    # solo run with the same (seed, sketch) — this is the property that
+    # makes cross-request merging safe (apps/serve._Batcher)
+    solo = pipe(["a cat"], num_inference_steps=steps, width=size,
+                height=size, seed=[22], sketch_image=[sk_b])
+    d_batch, d_solo = _digest(batched[1]), _digest(solo[0])
+    results["batcher_invariance"] = {
+        "sha256": d_solo["sha256"],
+        "matches_batched": d_batch["sha256"] == d_solo["sha256"],
+        "mean": d_solo["mean"], "std": d_solo["std"],
+    }
+
+    if injected is not None:
+        results.update(run_tiny_injected(injected, size=size, steps=steps))
+    return results
+
+
+def make_tiny_injected(components, seed=0, inj_dim=16):
+    """Tiny CLIP-variant injected UNet sharing the tiny stack's VAE."""
+    import jax
+    import jax.numpy as jnp
+
+    from sketch2img_tpu.models.unet import (
+        UNet2DCondition,
+        UNetConfig,
+        num_transformer_blocks,
+    )
+
+    cfg = UNetConfig(block_out_channels=(32, 32, 64, 64),
+                     cross_attn=(True, True, True, False),
+                     num_heads=2, cross_attention_dim=32,
+                     injection="clip", injection_context_dim=inj_dim)
+    unet = UNet2DCondition(cfg)
+    n_sites = num_transformer_blocks(cfg)
+    x = jnp.zeros((1, 16, 16, 4))
+    states = [jnp.zeros((1, 5, inj_dim))] * n_sites
+    params = unet.init(jax.random.PRNGKey(seed), x,
+                       jnp.zeros((1,), jnp.int32), jnp.zeros((1, 7, 32)),
+                       injection_states=states, injection_scale=1.0)["params"]
+    return {"unet": unet, "params": params, "n_sites": n_sites,
+            "inj_dim": inj_dim, "components": components}
+
+
+def run_tiny_injected(inj, size=128, steps=2):
+    import jax
+    import jax.numpy as jnp
+
+    from sketch2img_tpu.pipelines.attn_injected import (
+        cfg_injection_state,
+        make_attn_injected_fn,
+    )
+    from sketch2img_tpu.pipelines.text2img import latents_to_image
+
+    c = inj["components"]
+    unet, params = inj["unet"], inj["params"]
+    results = {}
+    h = size // c.vae_scale_factor
+    lat0 = jax.random.normal(jax.random.PRNGKey(77), (1, h, h, 4))
+    ctx_pair = jax.random.normal(jax.random.PRNGKey(78), (2, 7, 32)) * 0.1
+    hidden = jax.random.normal(jax.random.PRNGKey(79),
+                               (1, 5, inj["inj_dim"])) * 0.1
+    state = cfg_injection_state(hidden)
+
+    def apply_injected(p, x, t, ctx, states, scale):
+        return unet.apply({"params": p}, x, t, ctx,
+                          injection_states=states, injection_scale=scale)
+
+    for solver in ("dpm++", "ddim"):
+        tag = solver.replace("++", "pp")
+        fn = jax.jit(make_attn_injected_fn(
+            apply_injected, c.schedule, steps, inj["n_sites"], solver=solver))
+        lat = fn(params, lat0, ctx_pair, state, 0.8, 7.5)
+        img = latents_to_image(c.vae_decode, c.vae_params, lat)
+        results[f"attn_injected_{tag}"] = _digest(np.asarray(img[0]))
     return results
 
 
@@ -117,8 +220,14 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
         pipe = _tiny_pipe()
-        results = run_cases(pipe, size_override=128, steps_override=2)
-        manifest = args.manifest or "/tmp/quality_manifest_tiny.json"
+        injected = make_tiny_injected(pipe.c)
+        results = run_tiny_cases(pipe, injected)
+        # the tiny manifest is COMMITTED (tests/test_quality_manifest.py
+        # regenerates and compares): refactors that change any pipeline's
+        # output are hash-caught in CI without real weights
+        manifest = args.manifest or os.path.join(
+            os.path.dirname(__file__), "..", "tests", "fixtures",
+            "quality_manifest_tiny.json")
     else:
         if not (args.model_path and args.lgp_path):
             ap.error("--model_path and --lgp_path required (or --tiny)")
