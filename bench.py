@@ -233,14 +233,17 @@ def bench_text2img(batch=1, size=512, steps=50):
           batch / dt, "images/sec/chip", (batch / dt) / BASELINES[3])
 
 
-def bench_sketch_guided(batch=1, size=512, steps=50, remat=False):
+def bench_sketch_guided(batch=1, size=512, steps=50, remat=None):
     import jax
     import jax.numpy as jnp
 
+    from sketch2img_tpu.core.memory import choose_remat
     from sketch2img_tpu.core.schedulers import make_schedule
     from sketch2img_tpu.models.lgp import lgp_fused_apply
     from sketch2img_tpu.pipelines.sketch_guided import make_sketch_guided_fn
 
+    if remat is None:  # auto, same policy the runtime applies per request
+        remat = choose_remat(batch, size, size)
     unet, lgp, up, lv = _sd_stack(remat=remat)
 
     fn = jax.jit(make_sketch_guided_fn(
@@ -261,7 +264,8 @@ def bench_sketch_guided(batch=1, size=512, steps=50, remat=False):
                                jnp.float32)
     dt = _timed(fn, (up, lv, lat0, ctx_u, ctx_c, sketch, 7.5))
     _emit(f"sketch_guided_{size}px_{steps}step"
-          f"{'' if batch == 1 else f'_bs{batch}'}_images_per_sec_per_chip",
+          f"{'' if batch == 1 else f'_bs{batch}'}"
+          f"{'_remat' if remat else ''}_images_per_sec_per_chip",
           batch / dt, "images/sec/chip", (batch / dt) / BASELINES[4])
 
 
@@ -320,8 +324,12 @@ def main():
     parser.add_argument("--steps", type=int, default=None,
                         help="configs 3/4: solver steps (default 50)")
     parser.add_argument("--remat", action="store_true",
-                        help="config 4: rematerialized UNet backward "
-                             "(large batch / high resolution)")
+                        help="config 4: force the rematerialized UNet "
+                             "backward (default: core.memory.choose_remat "
+                             "picks per batch/size)")
+    parser.add_argument("--no-remat", action="store_true",
+                        help="config 4: force remat OFF even when the HBM "
+                             "estimate would flip it on")
     args = parser.parse_args()
     _enable_compile_cache()
     kw = {}
@@ -334,6 +342,8 @@ def main():
             kw["steps"] = args.steps
         if args.config == 4 and args.remat:
             kw["remat"] = True
+        elif args.config == 4 and args.no_remat:
+            kw["remat"] = False
     {
         1: bench_anime2sketch,
         2: bench_lgp,

@@ -74,6 +74,7 @@ class SDComponents:
     lgp_vars: Any = None
     safety_run: Any = None     # jit-able (params, images01) -> (images, flags)
     safety_params: Any = None
+    _unet_remat: Optional[UNet2DCondition] = None  # lazy (see unet_remat)
 
     @classmethod
     def from_diffusers_dir(
@@ -306,6 +307,25 @@ class SDComponents:
     def unet_apply_taps(self, p, x, t, ctx):
         return self.unet.apply({"params": p}, x, t, ctx, capture_taps=True)
 
+    @property
+    def unet_remat(self) -> UNet2DCondition:
+        """Rematerialized twin of ``unet`` — same params tree (nn.remat
+        changes only the backward's memory/compute trade), built lazily
+        for requests core.memory.choose_remat flags as too big to fit
+        without it."""
+        if self._unet_remat is None:
+            cfg = dataclasses.replace(self.unet.config, remat=True)
+            self._unet_remat = UNet2DCondition(
+                cfg, compute_dtype=self.unet.compute_dtype)
+        return self._unet_remat
+
+    def unet_apply_r(self, p, x, t, ctx):
+        return self.unet_remat.apply({"params": p}, x, t, ctx)
+
+    def unet_apply_taps_r(self, p, x, t, ctx):
+        return self.unet_remat.apply({"params": p}, x, t, ctx,
+                                     capture_taps=True)
+
     def vae_decode(self, p, z):
         return self.vae.apply({"params": p}, z, method=AutoencoderKL.decode)
 
@@ -337,6 +357,7 @@ class SketchGuidedPipeline:
         # when the user passes a different function next call).
         self._user_callback = None
         self.last_nsfw_flags = None
+        self.last_remat = None  # remat picked by the last guided call
 
     def _trampoline_callback(self, i: int, t: int, latents: np.ndarray) -> None:
         if self._user_callback is not None:
@@ -426,8 +447,8 @@ class SketchGuidedPipeline:
         return sample_latent(mean, logvar, noise)
 
     def _get_fn(self, kind: str, steps: int, callback_steps: Optional[int] = None,
-                solver: str = "dpm++"):
-        key = (kind, steps, callback_steps, solver)
+                solver: str = "dpm++", remat: bool = False):
+        key = (kind, steps, callback_steps, solver, remat)
         if key not in self._fns:
             cb = self._trampoline_callback if callback_steps is not None else None
             cb_steps = callback_steps if callback_steps is not None else 1
@@ -440,8 +461,11 @@ class SketchGuidedPipeline:
                         compute_dtype=self.c.lgp.compute_dtype,
                     )
 
+                unet_fwd = self.c.unet_apply_r if remat else self.c.unet_apply
+                unet_taps = (self.c.unet_apply_taps_r if remat
+                             else self.c.unet_apply_taps)
                 fn = make_sketch_guided_fn(
-                    self.c.unet_apply, self.c.unet_apply_taps, self.c.lgp_apply,
+                    unet_fwd, unet_taps, self.c.lgp_apply,
                     self.c.schedule, steps, lgp_apply_fused=lgp_fused,
                     solver=solver, callback=cb, callback_steps=cb_steps,
                 )
@@ -468,6 +492,7 @@ class SketchGuidedPipeline:
         solver: str = "dpm++",
         callback=None,
         callback_steps: int = 1,
+        remat: Optional[bool] = None,
     ) -> np.ndarray:
         """-> (H, W, 3) float image in [0, 1] for a single string prompt with
         ``num_images_per_prompt == 1``; otherwise (B, H, W, 3) with
@@ -494,6 +519,14 @@ class SketchGuidedPipeline:
         extension): image i's initial noise is a function of seed[i] alone,
         so ``pipe(ps, seed=[a, b])[0] == pipe(ps[:1], seed=[a])[0]`` —
         batch composition doesn't change per-image results.
+
+        ``remat=None`` (default) picks UNet rematerialization for the
+        guided backward automatically from the HBM estimate in
+        ``core.memory.choose_remat`` — big (batch, H, W) guided requests
+        trade ~15% step time for fitting in HBM instead of OOMing (the
+        reference OOMs on CUDA past the card size, app.py:188-193). Pass
+        True/False to force. Same final image either way (remat changes
+        only where activations are recomputed; pinned by tests).
         """
         del eta  # parity-only (see docstring)
         prompts = [prompt] if isinstance(prompt, str) else list(prompt)
@@ -554,7 +587,13 @@ class SketchGuidedPipeline:
                     target = sample_latent(mean, logvar, noise)
                     target = jnp.broadcast_to(
                         target, (batch,) + target.shape[1:])
-                fn = self._get_fn("sketch", num_inference_steps, cb_key, solver)
+                if remat is None:
+                    from sketch2img_tpu.core.memory import choose_remat
+
+                    remat = choose_remat(batch, height, width)
+                self.last_remat = bool(remat)  # observable: which variant ran
+                fn = self._get_fn("sketch", num_inference_steps, cb_key,
+                                  solver, remat=bool(remat))
                 latents = fn(self.c.unet_params, self.c.lgp_vars, latents0,
                              uncond, cond, target, guidance_scale)
             else:
