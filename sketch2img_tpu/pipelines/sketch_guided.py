@@ -57,6 +57,7 @@ def make_sketch_guided_fn(
     lgp_apply_fused: Optional[Callable] = None,
     callback: Optional[Callable] = None,
     callback_steps: int = 1,
+    unroll: int = 1,
 ) -> Callable:
     """Returns jit-able
     ``fn(unet_params, lgp_vars, latents0, context_uncond, context_cond,
@@ -71,6 +72,8 @@ def make_sketch_guided_fn(
     * ``latents0``: (B,h,w,4) initial noise — also the reference's ``noise``
       copy used for the noise-level feature (pipeline.py:75).
     * ``sketch_latent``: (B,h,w,4) VAE-encoded sketch x0.18215 (app.py:109).
+    * ``unroll``: solver steps per XLA while-loop iteration (both phases) —
+      amortizes per-iteration carry staging at the cost of a bigger body.
     """
     ts, sampler_step = make_sampler_step(solver, schedule, num_steps)
     timesteps = jnp.asarray(ts)
@@ -137,9 +140,13 @@ def make_sketch_guided_fn(
             emit_callback(callback, callback_steps, i, t2, x_next)
             return (x_next, x0)
 
+        # unroll=1 keeps the exact round-2 while lowering (and its compile
+        # cache); unroll>1 switches to the scan-unrolled body (measured
+        # slower in-model — docs/ROADMAP.md, kept for reproducibility)
+        kw = {} if unroll == 1 else {"unroll": unroll}
         carry = (latents0, jnp.zeros_like(latents0))
-        carry = jax.lax.fori_loop(0, n_guided, guided_body, carry)
-        carry = jax.lax.fori_loop(n_guided, num_steps, plain_body, carry)
+        carry = jax.lax.fori_loop(0, n_guided, guided_body, carry, **kw)
+        carry = jax.lax.fori_loop(n_guided, num_steps, plain_body, carry, **kw)
         return carry[0]
 
     if vae_decode is None:

@@ -62,6 +62,7 @@ def make_text2img_fn(
     vae_decode: Optional[Callable] = None,
     callback: Optional[Callable] = None,
     callback_steps: int = 1,
+    unroll: int = 1,
 ) -> Callable:
     """Returns jit-able ``fn(unet_params, latents0, context_pair,
     guidance_scale) -> latents`` (or decoded image if ``vae_decode`` given,
@@ -70,6 +71,10 @@ def make_text2img_fn(
     ``context_pair`` is the CFG-stacked (2B, N, 768) text embedding
     ([uncond; cond], pipeline.py:55-57); ``latents0`` the (B, h, w, 4)
     initial noise (DPM-Solver++ init_noise_sigma == 1).
+
+    ``unroll``: solver steps per XLA while-loop iteration — amortizes the
+    per-iteration carry staging copies at the cost of a proportionally
+    bigger loop body (compile time). Same math at any value.
     """
     ts, sampler_step = make_sampler_step(solver, schedule, num_steps)
     timesteps = jnp.asarray(ts)
@@ -86,7 +91,8 @@ def make_text2img_fn(
             return (x, x0)
 
         init = (latents0, jnp.zeros_like(latents0))
-        latents, _ = jax.lax.fori_loop(0, num_steps, body, init)
+        kw = {} if unroll == 1 else {"unroll": unroll}
+        latents, _ = jax.lax.fori_loop(0, num_steps, body, init, **kw)
         return latents
 
     if vae_decode is None:

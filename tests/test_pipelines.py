@@ -264,3 +264,44 @@ def test_sketch_guided_fused_lgp_matches_naive(mini_stack):
     b = fn_fused(params, lgp_vars, lat0, ctx_u, ctx_c, target, 7.5)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_sketch_guided_unrolled_loop_matches(mini_stack):
+    """``unroll`` only re-shapes the XLA while loop (staging amortization);
+    the trajectory must be unchanged — including an odd step count, where
+    the unrolled loop has a remainder iteration."""
+    _, unet, params, _, lgp, lgp_vars = mini_stack
+    sched = make_schedule()
+    rng = np.random.RandomState(11)
+    lat0 = jnp.asarray(rng.randn(1, 16, 16, 4), jnp.float32)
+    ctx_u = jnp.asarray(rng.randn(1, 7, 24), jnp.float32)
+    ctx_c = jnp.asarray(rng.randn(1, 7, 24), jnp.float32)
+    target = jnp.asarray(rng.randn(1, 16, 16, 4), jnp.float32)
+
+    def unet_apply(p, x, t, ctx):
+        return unet.apply({"params": p}, x, t, ctx)
+
+    def unet_apply_taps(p, x, t, ctx):
+        return unet.apply({"params": p}, x, t, ctx, capture_taps=True)
+
+    def lgp_apply(v, feats, nl):
+        return lgp.apply(v, feats, nl, train=False)
+
+    args = (params, lgp_vars, lat0, ctx_u, ctx_c, target, 7.5)
+    base = make_sketch_guided_fn(unet_apply, unet_apply_taps, lgp_apply,
+                                 sched, 5)(*args)
+    un2 = make_sketch_guided_fn(unet_apply, unet_apply_taps, lgp_apply,
+                                sched, 5, unroll=2)(*args)
+    # unrolling re-fuses the body, so fp32 reassociation noise is expected
+    # (measured 5e-4 relative over a 5-step guided vjp chain)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(un2),
+                               rtol=1e-3, atol=1e-4)
+
+    from sketch2img_tpu.pipelines.text2img import make_text2img_fn
+
+    ctx_pair = jnp.concatenate([ctx_u, ctx_c], axis=0)
+    t_base = make_text2img_fn(unet_apply, sched, 5)(params, lat0, ctx_pair, 7.5)
+    t_un2 = make_text2img_fn(unet_apply, sched, 5, unroll=2)(
+        params, lat0, ctx_pair, 7.5)
+    np.testing.assert_allclose(np.asarray(t_base), np.asarray(t_un2),
+                               rtol=1e-3, atol=1e-4)
