@@ -20,14 +20,21 @@ CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
 class ClipGuidedPipeline:
-    def __init__(self, model_path: str, attn_weights: str = None,
-                 clip_weights: str = None):
+    def __init__(self, model_path: str = None, attn_weights: str = None,
+                 clip_weights: str = None, *, components=None,
+                 clip_config=None, cast_bf16: bool = True):
+        """Build from a diffusers dir (``model_path``) or share an
+        already-loaded ``SDComponents`` (``components`` — how apps/serve.py
+        adds the injection route without loading the SD stack twice).
+        ``clip_config``/``cast_bf16`` exist for tiny CPU tests."""
         import jax
         import jax.numpy as jnp
 
-        from sketch2img_tpu.models.clip_vision import CLIPVisionEncoder
+        from sketch2img_tpu.models.clip_vision import (
+            VIT_L14_CONFIG,
+            CLIPVisionEncoder,
+        )
         from sketch2img_tpu.models.unet import (
-            SD15_CONFIG,
             UNet2DCondition,
             num_transformer_blocks,
         )
@@ -38,35 +45,47 @@ class ClipGuidedPipeline:
             split_injection_params,
         )
 
-        self.c = SDComponents.from_diffusers_dir(model_path)
-        inj_config = dataclasses.replace(SD15_CONFIG, injection="clip")
-        self.unet = UNet2DCondition(inj_config, compute_dtype=jnp.bfloat16)
+        if components is not None:
+            self.c = components
+        else:
+            self.c = SDComponents.from_diffusers_dir(model_path)
+        ccfg = clip_config if clip_config is not None else VIT_L14_CONFIG
+        self.n_tokens = (ccfg.image_size // ccfg.patch_size) ** 2 + 1
+        self.state_dim = ccfg.hidden_size
+        compute_dtype = jnp.bfloat16 if cast_bf16 else self.c.unet.compute_dtype
+        inj_config = dataclasses.replace(
+            self.c.unet.config, injection="clip",
+            injection_context_dim=self.state_dim)
+        self.unet = UNet2DCondition(inj_config, compute_dtype=compute_dtype)
         self.n_sites = num_transformer_blocks(inj_config)
 
-        states = [jnp.zeros((1, 257, 1024))] * self.n_sites
+        states = [jnp.zeros((1, self.n_tokens, self.state_dim))] * self.n_sites
         init_params = self.unet.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 4)),
-            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, inj_config.cross_attention_dim)),
             injection_states=states,
         )["params"]
         _, inj = split_injection_params(init_params)
         if attn_weights:  # sketch_attn_model.npz (clip_guided_inf.py:47)
             inj = load_params_npz(attn_weights)
         self.unet_params = merge_injection_params(self.c.unet_params, inj)
-        # serving: bf16 weights once (reference loads fp16, clip_guided_inf.py:44)
         from sketch2img_tpu.utils.params import cast_float_params
 
-        self.c.cast_params()
-        self.unet_params = cast_float_params(self.unet_params, jnp.bfloat16)
-
-        self.clip = CLIPVisionEncoder(compute_dtype=jnp.bfloat16)
+        self.clip = CLIPVisionEncoder(config=ccfg, compute_dtype=compute_dtype)
         if clip_weights:  # sketch_encoder_model.npz (clip_guided_inf.py:51)
             self.clip_params = load_params_npz(clip_weights)
         else:
             self.clip_params = self.clip.init(
-                jax.random.PRNGKey(1), jnp.zeros((1, 224, 224, 3))
+                jax.random.PRNGKey(1),
+                jnp.zeros((1, ccfg.image_size, ccfg.image_size, 3))
             )["params"]
-        self.clip_params = cast_float_params(self.clip_params, jnp.bfloat16)
+        if cast_bf16:
+            # serving: bf16 weights once (reference loads fp16,
+            # clip_guided_inf.py:44)
+            self.c.cast_params()
+            self.unet_params = cast_float_params(self.unet_params, jnp.bfloat16)
+            self.clip_params = cast_float_params(self.clip_params, jnp.bfloat16)
         self._fns = {}
         # text-encode helper built ONCE: it caches the jitted text encoder
         # (rebuilding per call would retrace it every generation)
@@ -83,8 +102,11 @@ class ClipGuidedPipeline:
         arr = np.asarray(spimg01, np.float32)
         if arr.ndim == 2:
             arr = np.tile(arr[:, :, None], (1, 1, 3))
+        elif arr.shape[-1] == 4:  # sketchpad RGBA -> drop alpha
+            arr = arr[..., :3]
+        side = self.clip.config.image_size
         img = Image.fromarray((arr * 255).astype(np.uint8)).resize(
-            (224, 224), Image.BICUBIC
+            (side, side), Image.BICUBIC
         )
         px = np.asarray(img, np.float32) / 255.0
         px = (px - CLIP_MEAN) / CLIP_STD
@@ -106,7 +128,8 @@ class ClipGuidedPipeline:
         ctx_pair = jnp.concatenate([uncond, cond], axis=0)
 
         key = jax.random.PRNGKey(seed if seed != 0 else np.random.randint(2**31 - 1))
-        h, w = height // 8, width // 8
+        f = self.c.vae_scale_factor
+        h, w = height // f, width // f
         latents0 = jax.random.normal(key, (1, h, w, 4), jnp.float32)
 
         if spimg is not None:
@@ -114,7 +137,7 @@ class ClipGuidedPipeline:
             state = cfg_injection_state(hidden)
             scale = strength  # set_scale(strength), clip_guided_inf.py:108
         else:
-            state = jnp.zeros((2, 257, 1024))
+            state = jnp.zeros((2, self.n_tokens, self.state_dim))
             scale = 0.0
 
         steps = int(num_inference_steps)

@@ -15,6 +15,12 @@ POST body (JSON):
   num_images_per_prompt, solver ("dpm++"|"ddim"),
   sketch_png_b64 (base64 PNG/JPEG sketch, optional), response ("png"|"json")
 
+With ``mode: "inject"`` (requires the server started with the
+attention-injection weights) the request routes to the CLIP-variant
+pipeline instead (reference demo modules/clip_guided_inf.py): the sketch
+conditions through CLIP-ViT attention injection rather than LGP gradient
+guidance, and ``strength`` (0..1, default 0.5) sets the injection scale.
+
 Behavior built for TPU serving:
   * one warmup generation per --warmup size at startup, so the 3-5 minute
     jit compile happens before the server accepts traffic (and lands in the
@@ -168,6 +174,7 @@ class GenerateHandler(BaseHTTPRequestHandler):
     are installed by make_server()."""
 
     pipe = None
+    inject_pipe = None  # ClipGuidedPipeline, when serving the clip variant
     lock: threading.Lock = None
     state: dict = None
     batcher: "_Batcher" = None
@@ -211,6 +218,15 @@ class GenerateHandler(BaseHTTPRequestHandler):
             prompt = req["prompt"]
             if req.get("solver", "dpm++") not in ("dpm++", "ddim"):
                 raise ValueError(f"unknown solver {req['solver']!r}")
+            if req.get("mode", "sketch") not in ("sketch", "inject"):
+                raise ValueError(f"unknown mode {req['mode']!r}")
+            if req.get("mode") == "inject":
+                if self.inject_pipe is None:
+                    raise ValueError(
+                        "injection route not enabled (start the server "
+                        "with --inject_attn_weights)")
+                if not isinstance(prompt, str):
+                    raise ValueError("mode=inject takes a single prompt")
             if isinstance(req.get("seed"), list):
                 req["seed"] = list(map(int, req["seed"]))
             if req.get("sketch_png_b64"):
@@ -222,6 +238,23 @@ class GenerateHandler(BaseHTTPRequestHandler):
         try:
             b64 = req.get("sketch_png_b64")
             sketch = _decode_sketch(b64) if b64 else None
+            if req.get("mode") == "inject":
+                with self.lock:
+                    imgs = self.inject_pipe(
+                        prompt,
+                        negative_prompt=req.get("negative_prompt", ""),
+                        num_inference_steps=int(
+                            req.get("num_inference_steps", 25)),
+                        guidance_scale=float(req.get("guidance_scale", 7.5)),
+                        width=_snap(req.get("width", 512)),
+                        height=_snap(req.get("height", 512)),
+                        seed=int(req.get("seed", 0)),
+                        strength=float(req.get("strength", 0.5)),
+                        spimg=sketch,
+                    )
+                # nsfw None: the clip demo has no safety checker
+                # (reference parity, clip_guided_inf.py)
+                return self._respond(req, np.asarray(imgs), None, t0)
             n_per = int(req.get("num_images_per_prompt", 1))
             seed = (req["seed"] if isinstance(req.get("seed"), list)
                     else int(req.get("seed", 0)))
@@ -257,7 +290,9 @@ class GenerateHandler(BaseHTTPRequestHandler):
                 m["errors"] += 1
             return self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
-        imgs = np.asarray(imgs)
+        return self._respond(req, np.asarray(imgs), nsfw, t0)
+
+    def _respond(self, req, imgs: np.ndarray, nsfw, t0: float):
         m = self.state["metrics"]
         with m["lock"]:
             m["requests"] += 1
@@ -281,16 +316,20 @@ class GenerateHandler(BaseHTTPRequestHandler):
 
 
 def make_server(pipe, host: str = "127.0.0.1", port: int = 8000,
-                batch_window_ms: float = 0.0, max_batch: int = 4):
+                batch_window_ms: float = 0.0, max_batch: int = 4,
+                inject_pipe=None):
     """Build (but don't start) the HTTP server around a pipeline. The
     handler serializes device work through one lock. With
     ``batch_window_ms > 0``, compatible concurrent requests micro-batch
-    into one pipeline call (see _Batcher)."""
+    into one pipeline call (see _Batcher). ``inject_pipe`` (a
+    ClipGuidedPipeline sharing the same components) enables the
+    ``mode: "inject"`` route."""
     lock = threading.Lock()
     metrics = {"lock": threading.Lock(), "requests": 0, "errors": 0,
                "images": 0, "batch_sizes": {}, "latencies": []}
     handler = type("Handler", (GenerateHandler,), {
         "pipe": pipe,
+        "inject_pipe": inject_pipe,
         "lock": lock,
         "state": {"warm": False, "metrics": metrics},
         "batcher": (_Batcher(pipe, lock, batch_window_ms / 1e3, max_batch,
@@ -319,6 +358,10 @@ def warmup(server, sizes, *, sketch: bool = True) -> None:
                 h.pipe(["warmup"] * b, num_inference_steps=steps, width=w,
                        height=ht, seed=list(range(1, b + 1)),
                        sketch_image=np.ones((ht, w), np.float32))
+        if h.inject_pipe is not None:
+            h.inject_pipe("warmup", num_inference_steps=steps, width=w,
+                          height=ht, seed=1,
+                          spimg=np.ones((ht, w), np.float32))
     h.state["warm"] = True
 
 
@@ -334,14 +377,28 @@ def main():
                     help="micro-batch compatible requests arriving within "
                          "this window (0 = off)")
     ap.add_argument("--max_batch", type=int, default=4)
+    ap.add_argument("--inject_attn_weights", default=None,
+                    help="sketch_attn_model.npz — enables mode=inject "
+                         "(the CLIP attention-injection variant)")
+    ap.add_argument("--inject_clip_weights", default=None,
+                    help="sketch_encoder_model.npz for mode=inject")
     args = ap.parse_args()
 
     from sketch2img_tpu.apps.app import build_pipeline
 
     pipe = build_pipeline(args.model_path, args.lgp_path)
+    inject_pipe = None
+    if args.inject_attn_weights:
+        from sketch2img_tpu.apps.clip_guided_inf import ClipGuidedPipeline
+
+        inject_pipe = ClipGuidedPipeline(
+            attn_weights=args.inject_attn_weights,
+            clip_weights=args.inject_clip_weights,
+            components=pipe.c)
     server = make_server(pipe, args.host, args.port,
                          batch_window_ms=args.batch_window_ms,
-                         max_batch=args.max_batch)
+                         max_batch=args.max_batch,
+                         inject_pipe=inject_pipe)
     sizes = []
     for part in filter(None, args.warmup.split(",")):
         w, h, s = (int(x) for x in part.split("x"))

@@ -45,7 +45,16 @@ def server():
     c.lgp_vars = lgp.init(jax.random.PRNGKey(3),
                           jnp.zeros((1, 4, 4, TAP_CH)), jnp.zeros((1, 4, 4, 4)),
                           train=False)
-    srv = make_server(SketchGuidedPipeline(c), "127.0.0.1", 0)
+    from sketch2img_tpu.apps.clip_guided_inf import ClipGuidedPipeline
+    from sketch2img_tpu.models.clip_vision import CLIPVisionConfig
+
+    inject_pipe = ClipGuidedPipeline(
+        components=c, cast_bf16=False,
+        clip_config=CLIPVisionConfig(image_size=28, patch_size=14,
+                                     hidden_size=32, num_layers=2,
+                                     num_heads=4, intermediate_size=64))
+    srv = make_server(SketchGuidedPipeline(c), "127.0.0.1", 0,
+                      inject_pipe=inject_pipe)
     warmup(srv, [(128, 128, 2)])
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
@@ -99,6 +108,60 @@ def test_generate_json_with_sketch_and_batch(server):
     assert len(out["images"]) == 2
     png0 = base64.b64decode(out["images"][0])
     assert png0[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_generate_inject_route(server):
+    """mode=inject routes to the CLIP attention-injection pipeline
+    (reference demo modules/clip_guided_inf.py) — deterministic per seed,
+    and the sketch + strength actually condition the result."""
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((64, 64), 255, np.uint8)).save(buf, format="PNG")
+    body = {
+        "prompt": "a cat", "mode": "inject", "num_inference_steps": 2,
+        "width": 128, "height": 128, "seed": 5, "strength": 0.7,
+        "sketch_png_b64": base64.b64encode(buf.getvalue()).decode(),
+    }
+    resp, data = _request(server, "POST", "/generate", body)
+    assert resp.status == 200
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    img = np.asarray(Image.open(io.BytesIO(data)))
+    assert img.shape == (128, 128, 3)
+
+    resp2, data2 = _request(server, "POST", "/generate", body)
+    assert data2 == data  # same seed -> same image
+
+    resp3, data3 = _request(server, "POST", "/generate",
+                            {**body, "strength": 0.0})
+    assert resp3.status == 200
+    assert data3 != data  # injection strength conditions the output
+
+    # no sketch: plain CFG sampling through the injected UNet (zero state)
+    resp4, data4 = _request(server, "POST", "/generate",
+                            {k: v for k, v in body.items()
+                             if k != "sketch_png_b64"})
+    assert resp4.status == 200
+
+    # prompt lists are a sketch/text2img feature, not an inject one
+    resp5, _ = _request(server, "POST", "/generate",
+                        {**body, "prompt": ["a", "b"]})
+    assert resp5.status == 400
+
+
+def test_inject_route_requires_weights(server):
+    """A server started without injection weights rejects mode=inject
+    with a client error, not a crash."""
+    plain = make_server(server.handler_class.pipe, "127.0.0.1", 0)
+    t = threading.Thread(target=plain.serve_forever, daemon=True)
+    t.start()
+    try:
+        resp, data = _request(plain, "POST", "/generate",
+                              {"prompt": "x", "mode": "inject"})
+        assert resp.status == 400
+        assert "not enabled" in json.loads(data)["error"]
+    finally:
+        plain.shutdown()
 
 
 def test_bad_request_and_unknown_path(server):
