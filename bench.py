@@ -269,7 +269,7 @@ def bench_sketch_guided(batch=1, size=512, steps=50, remat=None):
           batch / dt, "images/sec/chip", (batch / dt) / BASELINES[4])
 
 
-def bench_attn_injected_batch8():
+def bench_attn_injected(batch=8):
     import dataclasses
 
     import jax
@@ -286,7 +286,7 @@ def bench_attn_injected_batch8():
     cfg = dataclasses.replace(SD15_CONFIG, injection="clip")
     unet = UNet2DCondition(cfg, compute_dtype=jnp.bfloat16)
     n = num_transformer_blocks(cfg)
-    b = 8
+    b = batch
     states_init = [jnp.zeros((2, 257, 1024))] * n
     up = _serving_cast(
         _random_init(unet, jnp.zeros((2, 64, 64, 4)), jnp.zeros((2,), jnp.int32),
@@ -302,7 +302,7 @@ def bench_attn_injected_batch8():
     ctx = jax.random.normal(jax.random.PRNGKey(1), (2 * b, 77, 768), jnp.float32) * 0.1
     state = jax.random.normal(jax.random.PRNGKey(2), (2 * b, 257, 1024), jnp.float32) * 0.1
     dt = _timed(fn, (up, lat0, ctx, state, 0.5, 7.5))
-    _emit("attn_injected_batch8_512px_25step_images_per_sec_per_chip", b / dt,
+    _emit(f"attn_injected_batch{b}_512px_25step_images_per_sec_per_chip", b / dt,
           "images/sec/chip", (b / dt) / BASELINES[5])
 
 
@@ -318,7 +318,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5])
     parser.add_argument("--batch", type=int, default=None,
-                        help="configs 3/4: images per call (default 1)")
+                        help="configs 3/4/5: images per call "
+                             "(default 1; config 5 default 8)")
     parser.add_argument("--size", type=int, default=None,
                         help="configs 3/4: image size in px (default 512)")
     parser.add_argument("--steps", type=int, default=None,
@@ -333,9 +334,10 @@ def main():
     args = parser.parse_args()
     _enable_compile_cache()
     kw = {}
-    if args.config in (3, 4):
+    if args.config in (3, 4, 5):
         if args.batch:
             kw["batch"] = args.batch
+    if args.config in (3, 4):
         if args.size:
             kw["size"] = args.size
         if args.steps:
@@ -349,7 +351,7 @@ def main():
         2: bench_lgp,
         3: bench_text2img,
         4: bench_sketch_guided,
-        5: bench_attn_injected_batch8,
+        5: bench_attn_injected,
     }[args.config](**kw)
 
 

@@ -19,6 +19,18 @@ CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _init_latents_fn(h: int, w: int):
+    """jit'd initial-noise draw — same PRNGKey->normal chain as the old
+    eager code (bit-identical), collapsed to one device dispatch (eager ops
+    through the axon tunnel are ~ms each, see runtime.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda s: jax.random.normal(
+        jax.random.PRNGKey(s), (1, h, w, 4), jnp.float32))
+
+
 class ClipGuidedPipeline:
     def __init__(self, model_path: str = None, attn_weights: str = None,
                  clip_weights: str = None, *, components=None,
@@ -110,7 +122,12 @@ class ClipGuidedPipeline:
         )
         px = np.asarray(img, np.float32) / 255.0
         px = (px - CLIP_MEAN) / CLIP_STD
-        return self.clip.apply({"params": self.clip_params}, jnp.asarray(px)[None])
+        if "clip" not in self._fns:  # jit: one dispatch, not one per ViT op
+            import jax
+
+            self._fns["clip"] = jax.jit(
+                lambda p, x: self.clip.apply({"params": p}, x))
+        return self._fns["clip"](self.clip_params, jnp.asarray(px)[None])
 
     def __call__(self, prompt, *, negative_prompt="", num_inference_steps=25,
                  guidance_scale=7.5, width=512, height=512, seed=0,
@@ -127,10 +144,10 @@ class ClipGuidedPipeline:
         uncond, cond = self._helper.encode_prompt(prompt, negative_prompt)
         ctx_pair = jnp.concatenate([uncond, cond], axis=0)
 
-        key = jax.random.PRNGKey(seed if seed != 0 else np.random.randint(2**31 - 1))
         f = self.c.vae_scale_factor
         h, w = height // f, width // f
-        latents0 = jax.random.normal(key, (1, h, w, 4), jnp.float32)
+        latents0 = _init_latents_fn(h, w)(
+            np.int32(seed if seed != 0 else np.random.randint(2**31 - 1)))
 
         if spimg is not None:
             hidden = self.encode_sketch(spimg)
@@ -150,8 +167,10 @@ class ClipGuidedPipeline:
                 apply_inj, self.c.schedule, steps, self.n_sites))
         latents = self._fns[steps](self.unet_params, latents0, ctx_pair,
                                    state, scale, guidance_scale)
-        img = latents_to_image(functools.partial(self.c.vae_decode),
-                               self.c.vae_params, latents)
+        if "decode" not in self._fns:  # jit: not one dispatch per VAE op
+            self._fns["decode"] = jax.jit(
+                functools.partial(latents_to_image, self.c.vae_decode))
+        img = self._fns["decode"](self.c.vae_params, latents)
         return np.asarray(img[0], np.float32)
 
 

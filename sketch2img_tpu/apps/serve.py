@@ -29,7 +29,14 @@ Behavior built for TPU serving:
   * device work is serialized through one worker lock (a single chip runs
     one program at a time; concurrent calls only thrash HBM);
   * shape discipline: requests snap width/height to the demo's 8px grid and
-    reuse the jit cache keyed on (H, W, steps) — runtime._get_fn.
+    reuse the jit cache keyed on (H, W, steps) — runtime._get_fn;
+  * load shedding: beyond --max_pending admitted-but-unfinished requests,
+    respond 503 + Retry-After instead of stacking multi-second generations;
+    with --request_timeout_s, a request stuck waiting for the device that
+    long gets a 504 (and, if it was micro-batch-queued, is dropped before
+    any device work runs for it);
+  * graceful shutdown: SIGTERM/SIGINT stop accepting connections and let
+    in-flight generations finish.
 
 Usage:
   python -m sketch2img_tpu.apps.serve --model_path /path/to/sd15 \
@@ -96,10 +103,21 @@ class _Batcher:
         self.calls = 0  # observability + tests
         threading.Thread(target=self._run, daemon=True).start()
 
-    def submit(self, params: dict, sketch):
+    def submit(self, params: dict, sketch, timeout: float | None = None):
         item = {"params": params, "sketch": sketch,
-                "event": threading.Event()}
+                "started": threading.Event(), "event": threading.Event(),
+                "abandoned": False}
         self.q.put(item)
+        # the timeout bounds QUEUEING (window sweep + waiting behind other
+        # device work) — once this item's device work starts, wait it out
+        if timeout is not None and not item["started"].wait(timeout):
+            # mark it so the worker drops it instead of running device work
+            # for a client that already got its 504; if the worker won the
+            # race and started anyway, take the (late) result instead
+            item["abandoned"] = True
+            if not item["started"].is_set():
+                raise TimeoutError(
+                    f"generation not started within {timeout:g}s")
         item["event"].wait()
         if "error" in item:
             raise item["error"]
@@ -130,22 +148,32 @@ class _Batcher:
                     break
             groups: dict = {}
             for it in batch:
+                if it["abandoned"]:  # client timed out while queued
+                    continue
                 groups.setdefault(self._key(it), []).append(it)
             for items in groups.values():
                 self._process(items)
 
     def _process(self, items):
         try:
-            p0 = items[0]["params"]
-            prompts = [it["params"]["prompt"] for it in items]
-            seeds = [it["params"]["seed"] for it in items]
-            if self.metrics is not None:
-                with self.metrics["lock"]:
-                    key = str(len(items))
-                    self.metrics["batch_sizes"][key] = (
-                        self.metrics["batch_sizes"].get(key, 0) + 1)
-            sketches = [it["sketch"] for it in items]
             with self.lock:
+                # re-check under the lock: a client may have timed out (504)
+                # while this group waited behind other device work — don't
+                # burn a generation for it
+                items = [it for it in items if not it["abandoned"]]
+                if not items:
+                    return
+                for it in items:
+                    it["started"].set()  # stops the submit-side 504 clock
+                p0 = items[0]["params"]
+                prompts = [it["params"]["prompt"] for it in items]
+                seeds = [it["params"]["seed"] for it in items]
+                if self.metrics is not None:
+                    with self.metrics["lock"]:
+                        key = str(len(items))
+                        self.metrics["batch_sizes"][key] = (
+                            self.metrics["batch_sizes"].get(key, 0) + 1)
+                sketches = [it["sketch"] for it in items]
                 self.calls += 1
                 imgs = self.pipe(
                     prompts,
@@ -182,6 +210,26 @@ class GenerateHandler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet by default
         pass
 
+    def _locked(self, timeout):
+        """The worker lock as a context manager with an acquire deadline —
+        a request stuck behind minutes of queued device work gets a 504
+        instead of holding its socket open forever."""
+        import contextlib
+
+        lock = self.lock
+
+        @contextlib.contextmanager
+        def cm():
+            if not lock.acquire(timeout=-1 if timeout is None else timeout):
+                raise TimeoutError(
+                    f"device busy for {timeout:g}s (queued work ahead)")
+            try:
+                yield
+            finally:
+                lock.release()
+
+        return cm()
+
     def _json(self, code: int, obj) -> None:
         body = json.dumps(obj).encode()
         self.send_response(code)
@@ -201,6 +249,9 @@ class GenerateHandler(BaseHTTPRequestHandler):
                     "requests": m["requests"],
                     "errors": m["errors"],
                     "images": m["images"],
+                    "pending": m["pending"],
+                    "shed": m["shed"],
+                    "timeouts": m["timeouts"],
                     "batch_sizes": dict(sorted(m["batch_sizes"].items())),
                     "latency_p50_s": lat[len(lat) // 2] if lat else None,
                     "latency_p95_s": (lat[int(len(lat) * 0.95)]
@@ -212,6 +263,34 @@ class GenerateHandler(BaseHTTPRequestHandler):
     def do_POST(self):
         if self.path != "/generate":
             return self._json(404, {"error": "unknown path"})
+        m = self.state["metrics"]
+        with m["lock"]:  # admission decision only — no I/O under the lock
+            shed_pending = None
+            if m["pending"] >= self.state["max_pending"]:
+                # load shedding: a full queue of multi-second generations
+                # serves nobody — fail fast so the client can retry or
+                # route elsewhere
+                m["shed"] += 1
+                shed_pending = m["pending"]
+            else:
+                m["pending"] += 1
+        if shed_pending is not None:
+            self.send_response(503)
+            body = json.dumps({"error": "overloaded: "
+                               f"{shed_pending} requests pending"}).encode()
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Retry-After", "5")
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        try:
+            self._do_generate()
+        finally:
+            with m["lock"]:
+                m["pending"] -= 1
+
+    def _do_generate(self):
         try:
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n) or b"{}")
@@ -235,11 +314,12 @@ class GenerateHandler(BaseHTTPRequestHandler):
             return self._json(400, {"error": f"bad request: {e}"})
 
         t0 = time.monotonic()
+        timeout = self.state["request_timeout_s"]
         try:
             b64 = req.get("sketch_png_b64")
             sketch = _decode_sketch(b64) if b64 else None
             if req.get("mode") == "inject":
-                with self.lock:
+                with self._locked(timeout):
                     imgs = self.inject_pipe(
                         prompt,
                         negative_prompt=req.get("negative_prompt", ""),
@@ -276,13 +356,20 @@ class GenerateHandler(BaseHTTPRequestHandler):
                 # deterministic per request; per-image seed lists make
                 # the result independent of what it gets batched with
                 params["seed"] = seed or int(np.random.randint(1, 2**31 - 1))
-                imgs, nsfw = self.batcher.submit(params, sketch)
+                imgs, nsfw = self.batcher.submit(params, sketch,
+                                                 timeout=timeout)
             else:
-                with self.lock:
+                with self._locked(timeout):
                     imgs = self.pipe(num_images_per_prompt=n_per,
                                      sketch_image=sketch, **params)
                     nsfw = (list(map(bool, self.pipe.last_nsfw_flags))
                             if self.pipe.last_nsfw_flags is not None else None)
+        except TimeoutError as e:  # queued too long behind other work
+            m = self.state["metrics"]
+            with m["lock"]:
+                m["requests"] += 1
+                m["timeouts"] += 1
+            return self._json(504, {"error": f"timeout: {e}"})
         except Exception as e:  # surface the error to the client, keep serving
             m = self.state["metrics"]
             with m["lock"]:
@@ -317,21 +404,28 @@ class GenerateHandler(BaseHTTPRequestHandler):
 
 def make_server(pipe, host: str = "127.0.0.1", port: int = 8000,
                 batch_window_ms: float = 0.0, max_batch: int = 4,
-                inject_pipe=None):
+                inject_pipe=None, max_pending: int = 32,
+                request_timeout_s: float | None = None):
     """Build (but don't start) the HTTP server around a pipeline. The
     handler serializes device work through one lock. With
     ``batch_window_ms > 0``, compatible concurrent requests micro-batch
     into one pipeline call (see _Batcher). ``inject_pipe`` (a
     ClipGuidedPipeline sharing the same components) enables the
-    ``mode: "inject"`` route."""
+    ``mode: "inject"`` route. ``max_pending`` bounds admitted-but-unfinished
+    generations — beyond it requests are shed with a 503 + Retry-After
+    instead of stacking multi-second device work. ``request_timeout_s``
+    bounds how long a request may wait for the device before a 504."""
     lock = threading.Lock()
     metrics = {"lock": threading.Lock(), "requests": 0, "errors": 0,
-               "images": 0, "batch_sizes": {}, "latencies": []}
+               "images": 0, "pending": 0, "shed": 0, "timeouts": 0,
+               "batch_sizes": {}, "latencies": []}
     handler = type("Handler", (GenerateHandler,), {
         "pipe": pipe,
         "inject_pipe": inject_pipe,
         "lock": lock,
-        "state": {"warm": False, "metrics": metrics},
+        "state": {"warm": False, "metrics": metrics,
+                  "max_pending": max_pending,
+                  "request_timeout_s": request_timeout_s},
         "batcher": (_Batcher(pipe, lock, batch_window_ms / 1e3, max_batch,
                              metrics=metrics)
                     if batch_window_ms > 0 else None),
@@ -377,6 +471,12 @@ def main():
                     help="micro-batch compatible requests arriving within "
                          "this window (0 = off)")
     ap.add_argument("--max_batch", type=int, default=4)
+    ap.add_argument("--max_pending", type=int, default=32,
+                    help="load shedding: admitted-but-unfinished request "
+                         "cap; beyond it respond 503 + Retry-After")
+    ap.add_argument("--request_timeout_s", type=float, default=None,
+                    help="504 a request that waits this long for the "
+                         "device (default: wait forever)")
     ap.add_argument("--inject_attn_weights", default=None,
                     help="sketch_attn_model.npz — enables mode=inject "
                          "(the CLIP attention-injection variant)")
@@ -398,15 +498,30 @@ def main():
     server = make_server(pipe, args.host, args.port,
                          batch_window_ms=args.batch_window_ms,
                          max_batch=args.max_batch,
-                         inject_pipe=inject_pipe)
+                         inject_pipe=inject_pipe,
+                         max_pending=args.max_pending,
+                         request_timeout_s=args.request_timeout_s)
     sizes = []
     for part in filter(None, args.warmup.split(",")):
         w, h, s = (int(x) for x in part.split("x"))
         sizes.append((w, h, s))
     print(f"warming up {sizes} ...", flush=True)
     warmup(server, sizes)
+
+    import signal
+
+    def _stop(signum, frame):
+        # stop accepting connections; serve_forever returns once the
+        # current poll completes, in-flight handler threads finish their
+        # generations before the process exits
+        print(f"signal {signum}: draining ...", flush=True)
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _stop)
+    signal.signal(signal.SIGINT, _stop)
     print(f"serving on http://{args.host}:{args.port}", flush=True)
     server.serve_forever()
+    print("drained, exiting", flush=True)
 
 
 if __name__ == "__main__":

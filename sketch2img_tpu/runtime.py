@@ -34,6 +34,72 @@ from sketch2img_tpu.pipelines.sketch_guided import make_sketch_guided_fn
 from sketch2img_tpu.pipelines.text2img import make_text2img_fn, latents_to_image
 
 
+# -- jit'd per-request prologue ops -----------------------------------------
+# Everything a request runs BESIDES the sampling loop (initial-noise RNG,
+# sketch-target sampling, VAE encode/decode) used to execute eagerly —
+# dozens to hundreds of single-op dispatches per request. Through the axon
+# tunnel each eager dispatch is ~ms-scale, so a served 50-step request spent
+# several times longer in eager VAE/RNG ops than in the jit'd sampling loop
+# itself (tools/bench_serve.py measured 6.9 s/request against 0.93 s of
+# device sampling). jit'ing collapses each phase to one dispatch; the draws
+# are bit-identical (JAX's counter-based PRNG doesn't change under jit/vmap).
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _init_per_seed(seeds: jnp.ndarray, h: int, w: int):
+    """(B,) int32 seeds -> ((B,h,w,4) f32 initial latents, (B,2) sketch
+    keys), one independent PRNGKey->split->normal chain per image — the
+    per-image-seed serving contract (image i depends on seed[i] alone)."""
+
+    def one(s):
+        k_lat, k_sketch = jax.random.split(jax.random.PRNGKey(s))
+        return jax.random.normal(k_lat, (h, w, 4), jnp.float32), k_sketch
+
+    return jax.vmap(one)(seeds)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _init_one_seed(seed, batch: int, h: int, w: int):
+    """Scalar seed -> ((batch,h,w,4) f32 initial latents, sketch key) —
+    the reference demo's one-generator surface (app.py:110-113)."""
+    k_lat, k_sketch = jax.random.split(jax.random.PRNGKey(seed))
+    return jax.random.normal(k_lat, (batch, h, w, 4), jnp.float32), k_sketch
+
+
+@jax.jit
+def _noise_per(sketch_keys, mean):
+    """(B, 2) keys -> (B, *mean.shape[1:]) unit normals, one per key."""
+    return jax.vmap(
+        lambda k: jax.random.normal(k, mean.shape[1:], mean.dtype)
+    )(sketch_keys)
+
+
+_sample_latent_jit = jax.jit(sample_latent)
+
+
+def _sample_target_per(sketch_keys, mean, logvar):
+    """Per-image sketch-latent targets: image i's noise comes from its own
+    key, so batch composition can't change its result.
+
+    TWO jit dispatches on purpose. Fusing the threefry draw with the
+    mean+exp(logvar)*noise math in one jit lets XLA vectorize the fused
+    elementwise loop differently per batch size (FMA/tail effects, ~1e-7),
+    and the guided vjp loop amplifies that ~5e5x into a visible per-image
+    drift — measured bs2-vs-bs1 0.065 in latents, 3e-4 in the image.
+    Separately jit'd, both pieces are bitwise batch-invariant (pinned by
+    test_per_image_seeds_are_batch_invariant)."""
+    noise = _noise_per(sketch_keys, mean)
+    return _sample_latent_jit(mean, logvar, noise)
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def _sample_target_one(k_sketch, mean, logvar, batch: int):
+    """One sketch conditions the whole batch (app.py:104-109)."""
+    noise = jax.random.normal(k_sketch, mean.shape, mean.dtype)
+    target = sample_latent(mean, logvar, noise)
+    return jnp.broadcast_to(target, (batch,) + target.shape[1:])
+
+
 def _load_state_dict(path_base: str):
     """Load <base>.safetensors or <base>.bin (torch pickle)."""
     st = path_base + ".safetensors"
@@ -438,7 +504,9 @@ class SketchGuidedPipeline:
             arr = np.stack(arrs)
         else:
             arr = self._norm_sketch(sketch01)[None]
-        return self.c.vae_encode_moments(self.c.vae_params, jnp.asarray(arr))
+        if "moments" not in self._fns:  # jit: one dispatch, not one per op
+            self._fns["moments"] = jax.jit(self.c.vae_encode_moments)
+        return self._fns["moments"](self.c.vae_params, jnp.asarray(arr))
 
     def encode_sketch(self, sketch01: np.ndarray, rng: jax.Array) -> jnp.ndarray:
         """Sketchpad [0,1] -> sampled VAE latent target x0.18215."""
@@ -542,21 +610,16 @@ class SketchGuidedPipeline:
             if len(seed) != batch:
                 raise ValueError(
                     f"got {len(seed)} seeds for a batch of {batch}")
-            keys = [jax.random.PRNGKey(s if s != 0
-                                       else np.random.randint(2**31 - 1))
-                    for s in seed]
-            pairs = [jax.random.split(k) for k in keys]
-            latents0 = jnp.stack([
-                jax.random.normal(kl, (h, w, 4), jnp.float32)
-                for kl, _ in pairs])
+            seeds = np.asarray(
+                [s if s != 0 else np.random.randint(2**31 - 1)
+                 for s in seed], np.int32)
+            latents0, sketch_keys = _init_per_seed(jnp.asarray(seeds), h, w)
             k_sketch = None  # per-image sketch sampling below
-            sketch_keys = [ks for _, ks in pairs]
         else:
-            key = jax.random.PRNGKey(
-                seed if seed != 0 else np.random.randint(2**31 - 1))
-            k_lat, k_sketch = jax.random.split(key)
+            latents0, k_sketch = _init_one_seed(
+                np.int32(seed if seed != 0 else np.random.randint(2**31 - 1)),
+                batch, h, w)
             sketch_keys = None
-            latents0 = jax.random.normal(k_lat, (batch, h, w, 4), jnp.float32)
         uncond, cond = self.encode_prompt(
             prompt, negative_prompt, num_images_per_prompt
         )
@@ -576,17 +639,10 @@ class SketchGuidedPipeline:
                     # (seed[i], sketch[i]) — the batch invariance that lets
                     # serving merge unrelated requests
                     mean, logvar = self._sketch_moments(sketch_image)
-                    noise = jnp.stack([
-                        jax.random.normal(ks, mean.shape[1:], mean.dtype)
-                        for ks in sketch_keys])
-                    target = sample_latent(mean, logvar, noise)
+                    target = _sample_target_per(sketch_keys, mean, logvar)
                 else:
                     mean, logvar = self._sketch_moments(sketch_image)
-                    noise = jax.random.normal(k_sketch, mean.shape,
-                                              mean.dtype)
-                    target = sample_latent(mean, logvar, noise)
-                    target = jnp.broadcast_to(
-                        target, (batch,) + target.shape[1:])
+                    target = _sample_target_one(k_sketch, mean, logvar, batch)
                 if remat is None:
                     from sketch2img_tpu.core.memory import choose_remat
 
@@ -603,9 +659,11 @@ class SketchGuidedPipeline:
         finally:
             self._user_callback = None
 
-        img = latents_to_image(
-            functools.partial(self.c.vae_decode), self.c.vae_params, latents
-        )
+        if "decode" not in self._fns:  # jit: the full VAE decoder used to
+            # run EAGERLY here — hundreds of per-op dispatches per request
+            self._fns["decode"] = jax.jit(
+                functools.partial(latents_to_image, self.c.vae_decode))
+        img = self._fns["decode"](self.c.vae_params, latents)
         if self.c.safety_run is not None:
             # reference parity: checker runs on every generation
             # (modules/pipeline.py:121); flagged images are blacked out

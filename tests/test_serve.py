@@ -6,6 +6,7 @@ import http.client
 import io
 import json
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -291,5 +292,105 @@ def test_micro_batching_merges_different_sketches(server):
             # pixels one step apart (fusion order)
             assert diff.max() <= 1 and (diff > 0).mean() < 1e-3, (
                 name, diff.max(), (diff > 0).mean())
+    finally:
+        bsrv.shutdown()
+
+
+def test_load_shedding_503(server):
+    """Beyond max_pending admitted requests the server sheds with 503 +
+    Retry-After instead of queueing unbounded multi-second device work."""
+    h = server.handler_class
+    old = h.state["max_pending"]
+    h.state["max_pending"] = 0  # everything sheds
+    try:
+        resp, data = _request(server, "POST", "/generate", {
+            "prompt": "a cat", "num_inference_steps": 2,
+            "width": 128, "height": 128,
+        })
+        assert resp.status == 503
+        assert resp.getheader("Retry-After") is not None
+        assert "overloaded" in json.loads(data)["error"]
+    finally:
+        h.state["max_pending"] = old
+
+    resp, data = _request(server, "GET", "/metrics")
+    m = json.loads(data)
+    assert m["shed"] >= 1 and m["pending"] == 0
+
+    # back under the cap, the same request serves fine
+    resp, _ = _request(server, "POST", "/generate", {
+        "prompt": "a cat", "num_inference_steps": 2,
+        "width": 128, "height": 128,
+    })
+    assert resp.status == 200
+
+
+def test_request_timeout_504(server):
+    """A request stuck waiting for the device past request_timeout_s gets a
+    504; the server keeps serving once the device frees up."""
+    h = server.handler_class
+    old = h.state["request_timeout_s"]
+    h.state["request_timeout_s"] = 0.2
+    h.lock.acquire()  # simulate a long generation holding the chip
+    try:
+        resp, data = _request(server, "POST", "/generate", {
+            "prompt": "a cat", "num_inference_steps": 2,
+            "width": 128, "height": 128,
+        })
+        assert resp.status == 504
+        assert "timeout" in json.loads(data)["error"]
+    finally:
+        h.lock.release()
+        h.state["request_timeout_s"] = old
+
+    resp, data = _request(server, "GET", "/metrics")
+    assert json.loads(data)["timeouts"] >= 1
+
+    resp, _ = _request(server, "POST", "/generate", {
+        "prompt": "a cat", "num_inference_steps": 2,
+        "width": 128, "height": 128,
+    })
+    assert resp.status == 200
+
+
+def test_batched_queue_timeout_abandons_item(server):
+    """A micro-batched request that times out while queued is dropped by
+    the batcher worker — no device work runs for a client that already got
+    its 504."""
+    from sketch2img_tpu.apps.serve import make_server, warmup
+
+    pipe = server.handler_class.pipe
+    bsrv = make_server(pipe, "127.0.0.1", 0, batch_window_ms=50,
+                       max_batch=2, request_timeout_s=0.2)
+    warmup(bsrv, [(128, 128, 2)])
+    t = threading.Thread(target=bsrv.serve_forever, daemon=True)
+    t.start()
+    h = bsrv.handler_class
+    h.lock.acquire()  # batcher worker can't start any pipeline call
+    try:
+        calls0 = h.batcher.calls
+        resp, data = _request(bsrv, "POST", "/generate", {
+            "prompt": "a cat", "num_inference_steps": 2,
+            "width": 128, "height": 128, "seed": 7,
+        })
+        assert resp.status == 504
+    finally:
+        h.lock.release()
+    try:
+        # give the worker a moment: it must DROP the abandoned item, not
+        # run a batch for it
+        time_limit = time.monotonic() + 2.0
+        while time.monotonic() < time_limit and not h.batcher.q.empty():
+            time.sleep(0.05)
+        # wait for the 50 ms window sweep to drain the abandoned item
+        time.sleep(0.3)
+        assert h.batcher.calls == calls0
+
+        # the batched path still works afterwards
+        resp, _ = _request(bsrv, "POST", "/generate", {
+            "prompt": "a cat", "num_inference_steps": 2,
+            "width": 128, "height": 128, "seed": 8,
+        })
+        assert resp.status == 200
     finally:
         bsrv.shutdown()
