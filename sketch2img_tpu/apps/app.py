@@ -13,13 +13,13 @@ import time
 import numpy as np
 
 
-def build_pipeline(model_path: str, lgp_weights: str):
+def build_pipeline(model_path: str, lgp_weights: str, mesh=None):
     from sketch2img_tpu.runtime import SDComponents, SketchGuidedPipeline
 
     c = SDComponents.from_diffusers_dir(model_path)
     c.load_lgp_torch(lgp_weights)  # app.py:67-70 (9320, 4, 9)
     c.cast_params()  # serving: bf16 weights (reference loads fp16, app.py:29-43)
-    return SketchGuidedPipeline(c)
+    return SketchGuidedPipeline(c, mesh=mesh)
 
 
 def inference(pipe, prompt, guidance, steps, width=512, height=512, seed=0,

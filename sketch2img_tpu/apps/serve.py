@@ -15,6 +15,15 @@ POST body (JSON):
   num_images_per_prompt, solver ("dpm++"|"ddim"),
   sketch_png_b64 (base64 PNG/JPEG sketch, optional), response ("png"|"json")
 
+With ``stream: true`` the response is Server-Sent Events instead:
+``event: progress`` lines per solver step(s) — cadence set by
+``progress_every`` (default steps/10) — then one ``event: result`` with
+the JSON payload (b64 PNGs + nsfw flags). ``preview: true`` adds per-image
+latent->RGB thumbnails to every progress event (host-side linear
+projection of the already-fetched latents — zero extra device work).
+Streaming requests bypass the micro-batcher (progress is per-request) and
+are sketch/text2img only.
+
 With ``mode: "inject"`` (requires the server started with the
 attention-injection weights) the request routes to the CLIP-variant
 pipeline instead (reference demo modules/clip_guided_inf.py): the sketch
@@ -67,6 +76,24 @@ def _png_bytes(img01: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
+# SD1.x latent-channel -> RGB linear approximation (the community-standard
+# preview projection used in place of a VAE decode). Applied HOST-side to
+# the latents the streaming callback already fetched — previews cost zero
+# extra device work and no tunnel round-trips beyond the progress fetch.
+_LATENT_RGB = np.array([[0.298, 0.207, 0.208],
+                        [0.187, 0.286, 0.173],
+                        [-0.158, 0.189, 0.264],
+                        [-0.184, -0.271, -0.473]], np.float32)
+
+
+def _latent_preview_b64(latents: np.ndarray) -> list:
+    """(B, h, w, 4) sampling-space latents -> list of b64 PNG thumbnails
+    ((h, w) pixels, ~3 KB each at 512px generations)."""
+    rgb = latents.astype(np.float32) @ _LATENT_RGB  # (B, h, w, 3)
+    rgb = rgb * 0.5 + 0.5  # approx [-2, 2] sigma -> [0, 1]
+    return [base64.b64encode(_png_bytes(im)).decode() for im in rgb]
+
+
 def _decode_sketch(b64: str) -> np.ndarray:
     from PIL import Image
 
@@ -106,18 +133,22 @@ class _Batcher:
     def submit(self, params: dict, sketch, timeout: float | None = None):
         item = {"params": params, "sketch": sketch,
                 "started": threading.Event(), "event": threading.Event(),
-                "abandoned": False}
+                "abandoned": False, "lock": threading.Lock()}
         self.q.put(item)
         # the timeout bounds QUEUEING (window sweep + waiting behind other
-        # device work) — once this item's device work starts, wait it out
+        # device work) — once this item's device work starts, wait it out.
+        # abandon-vs-start is decided atomically under the item lock, so
+        # exactly one of (client 504s AND the worker drops it) / (the
+        # worker runs it AND the client takes the late result) happens —
+        # never a 504 paired with wasted multi-second device work
+        # (ADVICE r3).
         if timeout is not None and not item["started"].wait(timeout):
-            # mark it so the worker drops it instead of running device work
-            # for a client that already got its 504; if the worker won the
-            # race and started anyway, take the (late) result instead
-            item["abandoned"] = True
-            if not item["started"].is_set():
-                raise TimeoutError(
-                    f"generation not started within {timeout:g}s")
+            with item["lock"]:
+                if not item["started"].is_set():
+                    item["abandoned"] = True
+                    raise TimeoutError(
+                        f"generation not started within {timeout:g}s")
+            # the worker won the race under the lock — result is coming
         item["event"].wait()
         if "error" in item:
             raise item["error"]
@@ -157,14 +188,20 @@ class _Batcher:
     def _process(self, items):
         try:
             with self.lock:
-                # re-check under the lock: a client may have timed out (504)
-                # while this group waited behind other device work — don't
-                # burn a generation for it
-                items = [it for it in items if not it["abandoned"]]
+                # commit point, per item, atomic with the client's abandon
+                # decision: a client may have timed out (504) while this
+                # group waited behind other device work — don't burn a
+                # generation for it
+                kept = []
+                for it in items:
+                    with it["lock"]:
+                        if it["abandoned"]:
+                            continue
+                        it["started"].set()  # stops the submit 504 clock
+                        kept.append(it)
+                items = kept
                 if not items:
                     return
-                for it in items:
-                    it["started"].set()  # stops the submit-side 504 clock
                 p0 = items[0]["params"]
                 prompts = [it["params"]["prompt"] for it in items]
                 seeds = [it["params"]["seed"] for it in items]
@@ -306,6 +343,13 @@ class GenerateHandler(BaseHTTPRequestHandler):
                         "with --inject_attn_weights)")
                 if not isinstance(prompt, str):
                     raise ValueError("mode=inject takes a single prompt")
+                if isinstance(req.get("seed"), list):
+                    # the inject route is single-image; a list seed would
+                    # hit int() below and 500 instead of 400 (ADVICE r3)
+                    raise ValueError("mode=inject takes a single int seed")
+                if req.get("stream"):
+                    raise ValueError("stream is not supported for "
+                                     "mode=inject")
             if isinstance(req.get("seed"), list):
                 req["seed"] = list(map(int, req["seed"]))
             if req.get("sketch_png_b64"):
@@ -348,6 +392,11 @@ class GenerateHandler(BaseHTTPRequestHandler):
                 "seed": seed,
                 "solver": req.get("solver", "dpm++"),
             }
+            if req.get("stream"):
+                # SSE progress is per-request — bypass the batcher; the
+                # lock is taken before headers so queue timeouts still 504
+                return self._stream_generate(req, params, sketch, n_per,
+                                             timeout, t0)
             batchable = (self.batcher is not None
                          and isinstance(prompt, str) and n_per == 1
                          and not isinstance(seed, list))
@@ -378,6 +427,77 @@ class GenerateHandler(BaseHTTPRequestHandler):
             return self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
         return self._respond(req, np.asarray(imgs), nsfw, t0)
+
+    def _stream_generate(self, req, params, sketch, n_per, timeout,
+                         t0: float):
+        """Server-Sent Events response: ``event: progress`` per
+        ``progress_every`` solver steps (the pipeline's reference-parity
+        ``callback(i, t, latents)`` hook, modules/pipeline.py:34-35), then
+        ``event: result`` with the JSON payload. The device lock is taken
+        BEFORE headers go out so a queue timeout still surfaces as a clean
+        504; after headers, failures become an ``event: error``."""
+        m = self.state["metrics"]
+        steps = params["num_inference_steps"]
+        every = int(req.get("progress_every", 0)) or max(1, steps // 10)
+        with self._locked(timeout):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            wlock = threading.Lock()
+            dead = []
+
+            def send(event, obj):
+                data = (f"event: {event}\n"
+                        f"data: {json.dumps(obj)}\n\n").encode()
+                with wlock:
+                    if dead:
+                        return
+                    try:
+                        self.wfile.write(data)
+                        self.wfile.flush()
+                    except OSError:
+                        # client went away mid-generation; let the device
+                        # work finish, drop further events
+                        dead.append(1)
+
+            preview = bool(req.get("preview"))
+
+            def cb(i, t, latents):
+                obj = {"step": int(i) + 1, "total": steps,
+                       "timestep": int(t)}
+                if preview:
+                    # host-side latent->RGB thumbnails from the already-
+                    # fetched callback latents (no device work added)
+                    obj["previews"] = _latent_preview_b64(
+                        np.asarray(latents))
+                send("progress", obj)
+
+            try:
+                imgs = self.pipe(num_images_per_prompt=n_per,
+                                 sketch_image=sketch, callback=cb,
+                                 callback_steps=every, **params)
+                nsfw = (list(map(bool, self.pipe.last_nsfw_flags))
+                        if self.pipe.last_nsfw_flags is not None else None)
+            except Exception as e:
+                with m["lock"]:
+                    m["requests"] += 1
+                    m["errors"] += 1
+                send("error", {"error": f"{type(e).__name__}: {e}"})
+                return
+        imgs = np.asarray(imgs)
+        if imgs.ndim == 3:
+            imgs = imgs[None]
+        with m["lock"]:
+            m["requests"] += 1
+            m["images"] += imgs.shape[0]
+            m["latencies"].append(time.monotonic() - t0)
+            del m["latencies"][:-2048]
+        send("result", {
+            "images": [base64.b64encode(_png_bytes(i)).decode()
+                       for i in imgs],
+            "nsfw": nsfw,
+        })
 
     def _respond(self, req, imgs: np.ndarray, nsfw, t0: float):
         m = self.state["metrics"]
@@ -449,9 +569,16 @@ def warmup(server, sizes, *, sketch: bool = True) -> None:
             h.pipe(["warmup"] * b, num_inference_steps=steps, width=w,
                    height=ht, seed=list(range(1, b + 1)))
             if sketch:
+                # b > 1 must warm the batcher's actual program — a LIST of
+                # per-image sketches (stacked-moments encode + per-image
+                # target sampling), not one shared sketch array, or the
+                # first merged different-sketch batch cold-compiles while
+                # holding the device lock (ADVICE r3)
+                sk = np.ones((ht, w), np.float32)
                 h.pipe(["warmup"] * b, num_inference_steps=steps, width=w,
                        height=ht, seed=list(range(1, b + 1)),
-                       sketch_image=np.ones((ht, w), np.float32))
+                       sketch_image=(sk if b == 1
+                                     else [sk.copy() for _ in range(b)]))
         if h.inject_pipe is not None:
             h.inject_pipe("warmup", num_inference_steps=steps, width=w,
                           height=ht, seed=1,
@@ -478,15 +605,35 @@ def main():
                     help="504 a request that waits this long for the "
                          "device (default: wait forever)")
     ap.add_argument("--inject_attn_weights", default=None,
-                    help="sketch_attn_model.npz — enables mode=inject "
+                    help="sketch_attn_model.npz or the reference's "
+                         ".pt — enables mode=inject "
                          "(the CLIP attention-injection variant)")
     ap.add_argument("--inject_clip_weights", default=None,
-                    help="sketch_encoder_model.npz for mode=inject")
+                    help="sketch_encoder_model.npz or .pt for mode=inject")
+    ap.add_argument("--data_parallel", type=int, default=1,
+                    help="shard request batches over this many chips "
+                         "(data mesh axis; multi-chip serving)")
+    ap.add_argument("--model_parallel", type=int, default=1,
+                    help="Megatron-shard UNet attention over this many "
+                         "chips (model mesh axis; per-request latency)")
     args = ap.parse_args()
 
     from sketch2img_tpu.apps.app import build_pipeline
 
-    pipe = build_pipeline(args.model_path, args.lgp_path)
+    mesh = None
+    if args.data_parallel * args.model_parallel > 1:
+        import jax
+
+        from sketch2img_tpu.parallel import make_mesh
+
+        n = args.data_parallel * args.model_parallel
+        devs = jax.devices()
+        if len(devs) < n:
+            raise SystemExit(
+                f"--data_parallel x --model_parallel = {n} needs {n} "
+                f"devices, found {len(devs)}")
+        mesh = make_mesh(devs[:n], model_parallel=args.model_parallel)
+    pipe = build_pipeline(args.model_path, args.lgp_path, mesh=mesh)
     inject_pipe = None
     if args.inject_attn_weights:
         from sketch2img_tpu.apps.clip_guided_inf import ClipGuidedPipeline

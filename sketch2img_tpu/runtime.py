@@ -45,6 +45,17 @@ from sketch2img_tpu.pipelines.text2img import make_text2img_fn, latents_to_image
 # are bit-identical (JAX's counter-based PRNG doesn't change under jit/vmap).
 
 
+def canon_seed(seed) -> int:
+    """Fold an arbitrary int seed into the non-negative int32 key domain.
+
+    The jit'd init paths take int32 seeds; eager ``jax.random.PRNGKey``
+    used to accept full uint32/64 seeds, and a raw ``np.int32(2**31)``
+    raises OverflowError (ADVICE r3). Masking keeps every historical seed
+    accepted and deterministic (seeds equal mod 2**31 collide, which is
+    fine for a noise seed)."""
+    return int(seed) & 0x7FFFFFFF
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2))
 def _init_per_seed(seeds: jnp.ndarray, h: int, w: int):
     """(B,) int32 seeds -> ((B,h,w,4) f32 initial latents, (B,2) sketch
@@ -410,9 +421,16 @@ class SketchGuidedPipeline:
     """User-facing pipeline with the reference demo's call signature
     (app.py:84-123) and the stock pipeline's batching surface
     (modules/pipeline.py:29-35,47,64-74): prompt or prompt list,
-    ``num_images_per_prompt``, ``eta``, ``callback``/``callback_steps``."""
+    ``num_images_per_prompt``, ``eta``, ``callback``/``callback_steps``.
 
-    def __init__(self, components: SDComponents):
+    ``mesh`` (optional, a ``parallel.make_mesh()`` (data, model) mesh)
+    turns every program SPMD: the batch shards over ``data`` (non-divisible
+    batches are padded in the exact per-image-seed mode and the pad rows
+    dropped), UNet attention shards Megatron-style over ``model`` when
+    that axis is >1. Single-chip behavior is the default (mesh=None) and
+    is unchanged."""
+
+    def __init__(self, components: SDComponents, mesh=None):
         from sketch2img_tpu.utils.compile_cache import enable as _enable_cache
 
         _enable_cache()  # warm restarts replay the 3-5 min loop compiles
@@ -422,11 +440,69 @@ class SketchGuidedPipeline:
         # traced program is independent of the hook's identity (no retrace
         # when the user passes a different function next call).
         self._user_callback = None
+        self._cb_batch = None  # slice callback latents past mesh padding
         self.last_nsfw_flags = None
         self.last_remat = None  # remat picked by the last guided call
+        self.mesh = mesh
+        self._dp = 1
+        if mesh is not None:
+            self._setup_mesh(mesh)
+
+    def _setup_mesh(self, mesh) -> None:
+        """Distributed serving over a (data, model) ``jax.sharding.Mesh`` —
+        the TPU-native growth path past one chip (the reference serves on
+        exactly one GPU; SURVEY §2.3/§7). Parameters are placed once: UNet
+        attention projections Megatron-sharded over ``model`` when that
+        axis is >1 (parallel/tp.py — GSPMD inserts the single psum per
+        attention), everything else replicated. ``__call__`` then shards
+        the batch over ``data`` (padding non-divisible batches in the
+        exact per-image-seed mode) and XLA compiles every pipeline program
+        SPMD. The Pallas flash kernels — custom calls without a GSPMD
+        partitioning rule — run on each shard's local heads through the
+        TP context (ops/attention.py)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from sketch2img_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        self._dp = mesh.shape[DATA_AXIS]
+        tp = mesh.shape.get(MODEL_AXIS, 1)
+        rep = NamedSharding(mesh, P())
+
+        def put(tree):
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, rep), tree)
+
+        c = self.c
+        if tp > 1:
+            from sketch2img_tpu.ops.attention import (
+                set_tensor_parallel_context,
+            )
+            from sketch2img_tpu.parallel.tp import shard_params_tp
+
+            c.unet_params = shard_params_tp(mesh, c.unet_params)
+            set_tensor_parallel_context(mesh)
+        else:
+            c.unet_params = put(c.unet_params)
+        c.vae_params = put(c.vae_params)
+        c.text_params = put(c.text_params)
+        if c.lgp_vars is not None:
+            c.lgp_vars = put(c.lgp_vars)
+        if c.safety_params is not None:
+            c.safety_params = put(c.safety_params)
+
+    def _shard_batch(self, x):
+        """Shard an array's leading (batch) axis over the mesh's data axis
+        (no-op without a mesh)."""
+        if self.mesh is None:
+            return x
+        from sketch2img_tpu.parallel.mesh import batch_sharding
+
+        return jax.device_put(x, batch_sharding(self.mesh, np.ndim(x)))
 
     def _trampoline_callback(self, i: int, t: int, latents: np.ndarray) -> None:
         if self._user_callback is not None:
+            if self._cb_batch is not None:  # hide mesh-padding rows
+                latents = latents[:self._cb_batch]
             self._user_callback(i, t, latents)
 
     # -- text encoding (pipeline.py:55-57: CFG pair, 77-token padded) --
@@ -601,35 +677,75 @@ class SketchGuidedPipeline:
         batch = len(prompts) * num_images_per_prompt
         single = isinstance(prompt, str) and num_images_per_prompt == 1
 
+        # data-mesh padding: the SPMD programs need batch % data-axis == 0.
+        # Padding rides the per-image-seed mode, whose RNG draws are bitwise
+        # independent of batch composition (pinned by tests), so the first
+        # ``batch`` images follow exactly the unpadded trajectories (up to
+        # XLA program-rounding drift, tests/test_parallel_pipeline.py);
+        # pad rows are computed and discarded.
+        pad = (-batch) % self._dp
+        if pad:
+            if isinstance(seed, (list, tuple)):
+                if len(seed) != batch:
+                    raise ValueError(
+                        f"got {len(seed)} seeds for a batch of {batch}")
+            elif batch == 1:
+                # scalar seed at B=1 equals the per-image path bitwise:
+                # same PRNGKey split, same flattened draw counts
+                seed = [seed]
+            else:
+                raise ValueError(
+                    f"batch {batch} doesn't divide the mesh data axis "
+                    f"({self._dp}): pass per-image seeds (seed=[...]) so "
+                    "padded results stay exact, or use a divisible batch")
+            seed = list(seed) + [1] * pad
+            if isinstance(sketch_image, (list, tuple)):
+                if len(sketch_image) != batch:
+                    raise ValueError(
+                        f"got {len(sketch_image)} sketches for a batch of "
+                        f"{batch}")
+                sketch_image = list(sketch_image) + [sketch_image[-1]] * pad
+        batch_p = batch + pad
+
         f = self.c.vae_scale_factor
         h, w = height // f, width // f
         if isinstance(seed, (list, tuple)):
             # per-image seeds (serving extension beyond the reference's one
             # generator): each image's initial noise depends only on its own
             # seed, so batched requests reproduce single-image results
-            if len(seed) != batch:
+            if len(seed) != batch_p:
                 raise ValueError(
                     f"got {len(seed)} seeds for a batch of {batch}")
             seeds = np.asarray(
-                [s if s != 0 else np.random.randint(2**31 - 1)
+                [canon_seed(s) if s != 0 else np.random.randint(2**31 - 1)
                  for s in seed], np.int32)
             latents0, sketch_keys = _init_per_seed(jnp.asarray(seeds), h, w)
             k_sketch = None  # per-image sketch sampling below
         else:
             latents0, k_sketch = _init_one_seed(
-                np.int32(seed if seed != 0 else np.random.randint(2**31 - 1)),
-                batch, h, w)
+                np.int32(canon_seed(seed) if seed != 0
+                         else np.random.randint(2**31 - 1)),
+                batch_p, h, w)
             sketch_keys = None
         uncond, cond = self.encode_prompt(
             prompt, negative_prompt, num_images_per_prompt
         )
+        if pad:  # pad the CFG pair by repeating the last row
+            uncond = jnp.concatenate(
+                [uncond, jnp.repeat(uncond[-1:], pad, axis=0)])
+            cond = jnp.concatenate(
+                [cond, jnp.repeat(cond[-1:], pad, axis=0)])
+        latents0 = self._shard_batch(latents0)
+        uncond = self._shard_batch(uncond)
+        cond = self._shard_batch(cond)
 
         self._user_callback = callback
+        self._cb_batch = batch if pad else None
         cb_key = callback_steps if callback is not None else None
         try:
             if sketch_image is not None:
                 if (isinstance(sketch_image, (list, tuple))
-                        and len(sketch_image) != batch):
+                        and len(sketch_image) != batch_p):
                     raise ValueError(
                         f"got {len(sketch_image)} sketches for a batch of "
                         f"{batch}")
@@ -642,11 +758,15 @@ class SketchGuidedPipeline:
                     target = _sample_target_per(sketch_keys, mean, logvar)
                 else:
                     mean, logvar = self._sketch_moments(sketch_image)
-                    target = _sample_target_one(k_sketch, mean, logvar, batch)
+                    target = _sample_target_one(k_sketch, mean, logvar,
+                                                batch_p)
+                target = self._shard_batch(target)
                 if remat is None:
                     from sketch2img_tpu.core.memory import choose_remat
 
-                    remat = choose_remat(batch, height, width)
+                    # HBM pressure is per device: the data axis splits the
+                    # batch evenly across chips
+                    remat = choose_remat(batch_p // self._dp, height, width)
                 self.last_remat = bool(remat)  # observable: which variant ran
                 fn = self._get_fn("sketch", num_inference_steps, cb_key,
                                   solver, remat=bool(remat))
@@ -657,7 +777,15 @@ class SketchGuidedPipeline:
                 latents = fn(self.c.unet_params, latents0,
                              jnp.concatenate([uncond, cond], axis=0), guidance_scale)
         finally:
+            if callback is not None:
+                # jax.debug.callback delivery is asynchronous: flush every
+                # pending progress event BEFORE detaching the trampoline,
+                # or late deliveries are silently dropped (deterministic on
+                # a loaded/1-core host where the callback thread lags the
+                # cached-program dispatch)
+                jax.effects_barrier()
             self._user_callback = None
+            self._cb_batch = None
 
         if "decode" not in self._fns:  # jit: the full VAE decoder used to
             # run EAGERLY here — hundreds of per-op dispatches per request
@@ -670,9 +798,9 @@ class SketchGuidedPipeline:
             if "safety" not in self._fns:
                 self._fns["safety"] = jax.jit(self.c.safety_run)
             img, flags = self._fns["safety"](self.c.safety_params, img)
-            self.last_nsfw_flags = np.asarray(flags)
+            self.last_nsfw_flags = np.asarray(flags)[:batch]  # drop mesh pad
             if self.last_nsfw_flags.any():
                 print("Potential NSFW content was detected in one or more "
                       "images. A black image will be returned instead.")
-        img = np.asarray(img, np.float32)
+        img = np.asarray(img, np.float32)[:batch]  # drop mesh pad rows
         return img[0] if single else img

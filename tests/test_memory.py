@@ -58,6 +58,16 @@ def test_constants_match_committed_calibration():
             slopes[flag], abs=0.05)
 
 
+def test_fit_is_upper_envelope_of_calibration():
+    """No measured calibration row may sit above the stored fitted line —
+    the estimator must never under-predict a measured case (ADVICE r3:
+    the old min-base fit left 512px/bs8 ~0.2 GiB over and leaned on
+    choose_remat's headroom to absorb it)."""
+    for size, batch, remat, total in memory.CALIBRATION:
+        est = memory.estimate_guided_gib(batch, size, size, remat)
+        assert total <= est + 1e-9, (size, batch, remat, total, est)
+
+
 def test_measured_cases_fit_v5e_without_remat():
     """The calibration itself proves VERDICT item 10's acceptance cases:
     1024px bs2 and 768px bs4 guided fit v5e HBM with remat OFF (measured

@@ -148,6 +148,22 @@ def test_seed_determinism(tiny_components):
     assert not np.array_equal(a, c)
 
 
+def test_large_seeds_accepted(tiny_components):
+    """Seeds past int32 must keep working (eager PRNGKey used to take full
+    uint32/64 seeds; the jit'd init path folds them — ADVICE r3): a big
+    seed equals its int32-masked twin, scalar and per-image list alike."""
+    from sketch2img_tpu.runtime import canon_seed
+
+    big = 2**33 + 7
+    assert canon_seed(big) == big & 0x7FFFFFFF
+    pipe = SketchGuidedPipeline(tiny_components)
+    kw = dict(num_inference_steps=2, width=128, height=128)
+    np.testing.assert_array_equal(
+        pipe("x", seed=big, **kw), pipe("x", seed=big & 0x7FFFFFFF, **kw))
+    np.testing.assert_array_equal(
+        pipe("x", seed=[big], **kw), pipe("x", seed=[big & 0x7FFFFFFF], **kw))
+
+
 def test_evaluation_fixture(tiny_components):
     from sketch2img_tpu.apps.evaluation import evaluate
 

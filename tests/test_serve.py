@@ -149,6 +149,13 @@ def test_generate_inject_route(server):
                         {**body, "prompt": ["a", "b"]})
     assert resp5.status == 400
 
+    # ... and so are per-image seed lists: client error, not a 500
+    # (ADVICE r3: int() on a list used to escape as a server fault)
+    resp6, data6 = _request(server, "POST", "/generate",
+                            {**body, "seed": [1, 2]})
+    assert resp6.status == 400
+    assert "single int seed" in json.loads(data6)["error"]
+
 
 def test_inject_route_requires_weights(server):
     """A server started without injection weights rejects mode=inject
@@ -294,6 +301,115 @@ def test_micro_batching_merges_different_sketches(server):
                 name, diff.max(), (diff > 0).mean())
     finally:
         bsrv.shutdown()
+
+
+def test_streaming_progress_events(server):
+    """``stream: true`` returns Server-Sent Events: ordered progress
+    events during sampling (the pipeline's reference-parity callback,
+    modules/pipeline.py:34-35), then one result event whose image matches
+    the non-streamed run."""
+    conn = http.client.HTTPConnection("127.0.0.1", server.server_port,
+                                      timeout=600)
+    body = {"prompt": "a cat", "num_inference_steps": 4, "width": 128,
+            "height": 128, "seed": 5, "stream": True, "progress_every": 1}
+    conn.request("POST", "/generate", body=json.dumps(body))
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "text/event-stream"
+    raw = resp.read().decode()
+    conn.close()
+
+    events = []
+    for block in raw.strip().split("\n\n"):
+        lines = dict(ln.split(": ", 1) for ln in block.split("\n"))
+        events.append((lines["event"], json.loads(lines["data"])))
+    kinds = [k for k, _ in events]
+    assert kinds[-1] == "result"
+    assert kinds.count("progress") >= 2
+    steps = [e["step"] for k, e in events if k == "progress"]
+    assert steps == sorted(steps) and steps[0] >= 1 and max(steps) <= 4
+
+    png = base64.b64decode(events[-1][1]["images"][0])
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    # ... and matches the plain run (the callback variant is a different
+    # XLA program; allow one uint8 rounding step)
+    resp2, data2 = _request(server, "POST", "/generate",
+                            {k: v for k, v in body.items()
+                             if k not in ("stream", "progress_every")})
+    assert resp2.status == 200
+    from PIL import Image
+
+    a = np.asarray(Image.open(io.BytesIO(png)), np.int16)
+    b = np.asarray(Image.open(io.BytesIO(data2)), np.int16)
+    assert np.abs(a - b).max() <= 1
+
+    # streaming is a per-request surface: not available for mode=inject
+    resp3, data3 = _request(server, "POST", "/generate",
+                            {**body, "mode": "inject"})
+    assert resp3.status == 400
+    assert "stream" in json.loads(data3)["error"]
+
+
+def test_streaming_latent_previews(server):
+    """``preview: true`` attaches latent->RGB thumbnails (one per image,
+    latent resolution) to each progress event — decodable PNGs, no extra
+    device programs (the projection is host-side on the callback fetch)."""
+    from PIL import Image
+
+    conn = http.client.HTTPConnection("127.0.0.1", server.server_port,
+                                      timeout=600)
+    body = {"prompt": "a cat", "num_inference_steps": 3, "width": 128,
+            "height": 128, "seed": 5, "stream": True, "progress_every": 1,
+            "preview": True, "num_images_per_prompt": 2}
+    conn.request("POST", "/generate", body=json.dumps(body))
+    resp = conn.getresponse()
+    assert resp.status == 200
+    raw = resp.read().decode()
+    conn.close()
+
+    got = 0
+    for block in raw.strip().split("\n\n"):
+        lines = dict(ln.split(": ", 1) for ln in block.split("\n"))
+        if lines["event"] != "progress":
+            continue
+        payload = json.loads(lines["data"])
+        assert len(payload["previews"]) == 2  # one per image
+        f = server.handler_class.pipe.c.vae_scale_factor
+        for b64 in payload["previews"]:
+            im = Image.open(io.BytesIO(base64.b64decode(b64)))
+            assert im.size == (128 // f, 128 // f)
+        got += 1
+    assert got >= 2
+
+
+def test_warmup_compiles_per_image_sketch_programs(server):
+    """With micro-batching on, warmup must exercise the batcher's ACTUAL
+    batched-sketch program — a LIST of per-image sketches for every batch
+    size > 1 — so the first merged different-sketch batch doesn't
+    cold-compile while holding the device lock (ADVICE r3)."""
+    real = server.handler_class.pipe
+    calls = []
+
+    class Recorder:
+        last_nsfw_flags = None
+
+        def __call__(self, prompts, **kw):
+            sk = kw.get("sketch_image")
+            calls.append((len(prompts),
+                          len(sk) if isinstance(sk, list) else
+                          ("array" if sk is not None else None)))
+            out = real(prompts, **kw)
+            self.last_nsfw_flags = real.last_nsfw_flags
+            return out
+
+    bsrv = make_server(Recorder(), "127.0.0.1", 0, batch_window_ms=50,
+                       max_batch=2)
+    warmup(bsrv, [(128, 128, 2)])
+    # every batch size up to max_batch, text2img + sketch variants; the
+    # b=2 sketch warmup must be a per-image LIST of 2 sketches (the
+    # program the batcher runs for merged different-sketch requests)
+    assert (1, None) in calls and (2, None) in calls
+    assert (2, 2) in calls
 
 
 def test_load_shedding_503(server):
