@@ -19,6 +19,40 @@ CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
 CLIP_STD = np.asarray([0.26862954, 0.26130258, 0.27577711], np.float32)
 
 
+def load_attn_weights(path: str, config) -> dict:
+    """Injection params from our npz OR the reference's
+    ``sketch_attn_model.pt`` (clip_guided_trainer.py:264) — torch files go
+    through the manifest-pinned strict SAT converter."""
+    if path.endswith((".pt", ".pth", ".bin")):
+        from sketch2img_tpu.core.export import convert_torch_sat, load_torch_state
+        from sketch2img_tpu.core.manifest import strict_convert
+
+        return strict_convert(convert_torch_sat, load_torch_state(path),
+                              config, what=f"sketch_attn_model ({path})")
+    from sketch2img_tpu.train.checkpoint import load_params_npz
+
+    return load_params_npz(path)
+
+
+def load_clip_weights(path: str, num_layers: int) -> dict:
+    """CLIP vision params from our npz OR the reference's
+    ``sketch_encoder_model.pt`` (a CLIPVisionModel state dict,
+    clip_guided_trainer.py:263). ``post_layernorm`` only feeds the pooled
+    output neither stack uses — ignored like the position_ids buffer."""
+    if path.endswith((".pt", ".pth", ".bin")):
+        from sketch2img_tpu.core.export import load_torch_state
+        from sketch2img_tpu.core.manifest import DEFAULT_IGNORE, strict_convert
+        from sketch2img_tpu.models.clip_vision import convert_torch_clip_vision
+
+        return strict_convert(
+            convert_torch_clip_vision, load_torch_state(path), num_layers,
+            ignore=DEFAULT_IGNORE + ("*post_layernorm*",),
+            what=f"sketch_encoder_model ({path})")
+    from sketch2img_tpu.train.checkpoint import load_params_npz
+
+    return load_params_npz(path)
+
+
 @functools.lru_cache(maxsize=None)
 def _init_latents_fn(h: int, w: int):
     """jit'd initial-noise draw — same PRNGKey->normal chain as the old
@@ -51,7 +85,6 @@ class ClipGuidedPipeline:
             num_transformer_blocks,
         )
         from sketch2img_tpu.runtime import SDComponents
-        from sketch2img_tpu.train.checkpoint import load_params_npz
         from sketch2img_tpu.train.train_attn_inject import (
             merge_injection_params,
             split_injection_params,
@@ -79,14 +112,14 @@ class ClipGuidedPipeline:
             injection_states=states,
         )["params"]
         _, inj = split_injection_params(init_params)
-        if attn_weights:  # sketch_attn_model.npz (clip_guided_inf.py:47)
-            inj = load_params_npz(attn_weights)
+        if attn_weights:  # sketch_attn_model.(npz|pt) (clip_guided_inf.py:47)
+            inj = load_attn_weights(attn_weights, inj_config)
         self.unet_params = merge_injection_params(self.c.unet_params, inj)
         from sketch2img_tpu.utils.params import cast_float_params
 
         self.clip = CLIPVisionEncoder(config=ccfg, compute_dtype=compute_dtype)
-        if clip_weights:  # sketch_encoder_model.npz (clip_guided_inf.py:51)
-            self.clip_params = load_params_npz(clip_weights)
+        if clip_weights:  # sketch_encoder_model.(npz|pt) (clip_guided_inf.py:51)
+            self.clip_params = load_clip_weights(clip_weights, ccfg.num_layers)
         else:
             self.clip_params = self.clip.init(
                 jax.random.PRNGKey(1),
@@ -146,8 +179,11 @@ class ClipGuidedPipeline:
 
         f = self.c.vae_scale_factor
         h, w = height // f, width // f
+        from sketch2img_tpu.runtime import canon_seed
+
         latents0 = _init_latents_fn(h, w)(
-            np.int32(seed if seed != 0 else np.random.randint(2**31 - 1)))
+            np.int32(canon_seed(seed) if seed != 0
+                     else np.random.randint(2**31 - 1)))
 
         if spimg is not None:
             hidden = self.encode_sketch(spimg)

@@ -17,6 +17,10 @@ def parse_args():
     parser.add_argument("--netg", type=str, default="weights/netG.pth")
     parser.add_argument("--clip_vision", type=str, default=None,
                         help="dir or file with CLIP ViT-L/14 torch weights")
+    parser.add_argument("--save_torch", action="store_true",
+                        help="also export sketch_attn_model.pt / "
+                             "sketch_encoder_model.pt in the reference's "
+                             "torch layouts (clip_guided_trainer.py:263-264)")
     return parser.parse_args()
 
 
@@ -197,6 +201,18 @@ def main():
     if jax.process_index() == 0:
         export_params_npz("sketch_encoder_model.npz", jax.device_get(state.clip_params))
         export_params_npz("sketch_attn_model.npz", jax.device_get(state.inj_params))
+        if args.save_torch:
+            from sketch2img_tpu.core.export import (
+                clip_vision_to_torch_state,
+                sat_to_torch_state,
+                save_torch_state,
+            )
+
+            save_torch_state("sketch_attn_model.pt", sat_to_torch_state(
+                jax.device_get(state.inj_params), inj_config))
+            save_torch_state(
+                "sketch_encoder_model.pt",
+                clip_vision_to_torch_state(jax.device_get(state.clip_params)))
         save_train_state(ckpt_dir, global_step, jax.device_get(state))
     print("done")
 

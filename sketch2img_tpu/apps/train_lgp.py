@@ -22,6 +22,10 @@ def parse_args():
                         help="orbax train-state directory")
     parser.add_argument("--netg", type=str, default="weights/netG.pth",
                         help="anime2sketch generator weights (trainer.py:114)")
+    parser.add_argument("--save_torch", action="store_true",
+                        help="also export edge_predictor.pt in the "
+                             "reference's torch layout (trainer.py:279) so "
+                             "the torch stack can serve these weights")
     return parser.parse_args()
 
 
@@ -232,6 +236,15 @@ def main():
                 {"params": jax.device_get(state.params),
                  "batch_stats": jax.device_get(state.batch_stats)},
             )
+            if args.save_torch:
+                from sketch2img_tpu.core.export import (
+                    lgp_to_torch_state,
+                    save_torch_state,
+                )
+
+                save_torch_state("edge_predictor.pt", lgp_to_torch_state(
+                    {"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats)}))
             repo = config.get_path("monitor.huggingface_repo", "")
             if repo:
                 from sketch2img_tpu.utils.hub import push_file

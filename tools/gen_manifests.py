@@ -203,6 +203,85 @@ def gen_netg():
     })
 
 
+def gen_clip_vision():
+    # the clip trainer's OTHER artifact: the trainable vision tower saved
+    # whole (clip_guided_trainer.py:105,263 — CLIPVisionModel ViT-L/14)
+    import transformers
+
+    cfg = transformers.CLIPVisionConfig(
+        hidden_size=1024, intermediate_size=4096, num_hidden_layers=24,
+        num_attention_heads=16, patch_size=14, image_size=224,
+        projection_dim=768,
+    )
+    m = transformers.CLIPVisionModel(cfg)
+    shapes = state_shapes(m)
+    shapes["vision_model.embeddings.position_ids"] = [1, 257]
+    write("clip_vision_l14", shapes, {
+        "checkpoint": "sketch_encoder_model.pt "
+                      "(clip_guided_trainer.py:263, clip_guided_inf.py:51)",
+        "architecture": "transformers CLIPVisionModel ViT-L/14 "
+                        "(hidden 1024, 24 layers, 16 heads, patch 14)",
+        "source": "REAL transformers.CLIPVisionModel state dict "
+                  f"(transformers {transformers.__version__})",
+        "optional_keys": ["vision_model.embeddings.position_ids",
+                          "vision_model.post_layernorm.weight",
+                          "vision_model.post_layernorm.bias"],
+        "notes": "post_layernorm feeds only the pooled output, which "
+                 "neither consumer touches (clip_guided_inf.py uses "
+                 "last_hidden_state); the exporter emits it as identity",
+        "consumer": "models/clip_vision.convert_torch_clip_vision / "
+                    "core/export.clip_vision_to_torch_state",
+    })
+
+
+def gen_sat():
+    # SatMixin module tree (clip_guided_attn.py:8-27): per BasicTransformer-
+    # Block a module named "sketch_attn_<unet path, dots->underscores>"
+    # holding sketch_proj / sketch_norm / sketch_attn (diffusers
+    # CrossAttention: bias-free to_q/k/v + to_out Sequential(Linear,
+    # Dropout)) / sketch_conv (1x1 Conv1d). Built here from plain torch
+    # modules so the state-dict naming comes from torch itself.
+    from sketch2img_tpu.core.export import sat_block_names
+    from sketch2img_tpu.models.unet import SD15_CONFIG
+
+    class SatAttn(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.to_q = nn.Linear(dim, dim, bias=False)
+            self.to_k = nn.Linear(dim, dim, bias=False)
+            self.to_v = nn.Linear(dim, dim, bias=False)
+            self.to_out = nn.Sequential(nn.Linear(dim, dim), nn.Dropout(0.0))
+
+    class SatBlock(nn.Module):
+        def __init__(self, dim):
+            super().__init__()
+            self.sketch_proj = nn.Linear(1024, dim)
+            self.sketch_norm = nn.LayerNorm(dim)
+            self.sketch_attn = SatAttn(dim)
+            self.sketch_conv = nn.Conv1d(dim, dim, 1)
+
+    class SatMirror(nn.Module):
+        def __init__(self):
+            super().__init__()
+            for _o, _i, tname, dim in sat_block_names(SD15_CONFIG):
+                self.add_module(tname, SatBlock(dim))
+
+    with torch.device("meta"):
+        m = SatMirror()
+    write("sat_sd15", state_shapes(m), {
+        "checkpoint": "sketch_attn_model.pt "
+                      "(clip_guided_trainer.py:264, clip_guided_inf.py:47)",
+        "architecture": "SatMixin over the SD1.5 UNet: one "
+                        "proj/norm/cross-attn/conv1x1 module per "
+                        "TransformerBlock (16 sites), clip variant "
+                        "(clip_guided_attn.py:37-64)",
+        "source": "plain-torch mirror of the SatMixin module tree at SD1.5 "
+                  "scale (meta device); site names enumerated by "
+                  "core/export.sat_block_names",
+        "consumer": "core/export.convert_torch_sat",
+    })
+
+
 if __name__ == "__main__":
     gen_unet()
     gen_vae()
@@ -210,3 +289,5 @@ if __name__ == "__main__":
     gen_safety()
     gen_lgp()
     gen_netg()
+    gen_clip_vision()
+    gen_sat()
