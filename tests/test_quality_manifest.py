@@ -41,9 +41,17 @@ def test_tiny_quality_manifest_reproduces(regenerated):
     # the merge-safety property must hold regardless of toolchain
     assert results["batcher_invariance"]["matches_batched"]
 
+    import quality_check as qc
+
+    # XLA:CPU kernels differ per CPU microarchitecture (oneDNN dispatch):
+    # same wheel on a different host flips low-order-bit pixels, so exact
+    # hashes require the full toolchain AND the host CPU class to match
+    # (older fixtures without a "cpu" stamp never hash-match).
     same_toolchain = (want["environment"]["jax"] == jax.__version__
                       and want["environment"]["backend"]
-                      == jax.default_backend())
+                      == jax.default_backend()
+                      and want["environment"].get("cpu")
+                      == qc.cpu_fingerprint())
     mismatches = []
     for name, got in results.items():
         exp = want["results"][name]

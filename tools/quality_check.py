@@ -193,6 +193,24 @@ def run_tiny_injected(inj, size=128, steps=2):
     return results
 
 
+def cpu_fingerprint() -> str:
+    """Hash of the host CPU's model + instruction-set flags. XLA:CPU (via
+    oneDNN) picks different kernels/fusion orders per microarchitecture, so
+    bit-exact hashes only reproduce on the same CPU class — measured: same
+    jax wheel, different host, identical image MEANS but flipped
+    low-order-bit pixels in every case."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            lines = f.read().splitlines()
+        fields = sorted({ln for ln in lines
+                         if ln.startswith(("model name", "flags"))})
+        return hashlib.sha256("\n".join(fields).encode()).hexdigest()[:16]
+    except OSError:  # non-Linux: coarse fallback
+        import platform
+
+        return platform.machine() or "unknown"
+
+
 def environment():
     import jax
 
@@ -202,6 +220,7 @@ def environment():
         "device": str(jax.devices()[0].device_kind
                       if hasattr(jax.devices()[0], "device_kind")
                       else jax.devices()[0]),
+        "cpu": cpu_fingerprint(),
     }
 
 
