@@ -252,6 +252,15 @@ def main():
                 push_file(repo, "edge_predictor.npz",
                           token=config.get_path("monitor.huggingface_token"),
                           commit_message=f"add/update model: epoch {epoch}")
+                if args.save_torch:
+                    # publish the torch-layout artifact too, so reference-
+                    # stack users can pull it straight from the hub
+                    # (trainer.py:273-279 publishes the torch state dict)
+                    push_file(repo, "edge_predictor.pt",
+                              token=config.get_path(
+                                  "monitor.huggingface_token"),
+                              commit_message=f"add/update model (torch): "
+                                             f"epoch {epoch}")
 
     stop.__exit__()
     if jax.process_index() == 0:

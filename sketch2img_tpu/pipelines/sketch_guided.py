@@ -81,10 +81,48 @@ def make_sketch_guided_fn(
 
     def run(unet_params, lgp_vars, latents0, context_uncond, context_cond,
             sketch_latent, guidance_scale):
-        b, h, w, _ = latents0.shape
         noise0 = latents0  # pipeline.py:75 — kept for noise-level features
+        guided_body, plain_body = _guided_plain_bodies(
+            unet_apply, unet_apply_taps, lgp_apply, schedule, timesteps,
+            sampler_step, beta, lgp_apply_fused, callback, callback_steps,
+            unet_params, lgp_vars, noise0, context_uncond, context_cond,
+            sketch_latent, guidance_scale)
 
-        def guided_body(i, carry):
+        # unroll=1 keeps the exact round-2 while lowering (and its compile
+        # cache); unroll>1 switches to the scan-unrolled body (measured
+        # slower in-model — docs/ROADMAP.md, kept for reproducibility)
+        kw = {} if unroll == 1 else {"unroll": unroll}
+        carry = (latents0, jnp.zeros_like(latents0))
+        carry = jax.lax.fori_loop(0, n_guided, guided_body, carry, **kw)
+        carry = jax.lax.fori_loop(n_guided, num_steps, plain_body, carry, **kw)
+        return carry[0]
+
+    if vae_decode is None:
+        return run
+
+    from sketch2img_tpu.pipelines.text2img import latents_to_image
+
+    def full(unet_params, vae_params, lgp_vars, latents0, context_uncond,
+             context_cond, sketch_latent, guidance_scale):
+        latents = run(unet_params, lgp_vars, latents0, context_uncond,
+                      context_cond, sketch_latent, guidance_scale)
+        return latents_to_image(vae_decode, vae_params, latents)
+
+    return full
+
+
+def _guided_plain_bodies(unet_apply, unet_apply_taps, lgp_apply, schedule,
+                         timesteps, sampler_step, beta, lgp_apply_fused,
+                         callback, callback_steps,
+                         unet_params, lgp_vars, noise0, context_uncond,
+                         context_cond, sketch_latent, guidance_scale):
+    """The two per-step loop bodies, shared verbatim between the monolithic
+    jit (``make_sketch_guided_fn``) and the host-driven range programs
+    (``make_sketch_guided_range_fns``) — one source of truth for the
+    guidance math."""
+    b, h, w, _ = noise0.shape
+
+    def guided_body(i, carry):
             x, x0_prev = carry
             t = jnp.broadcast_to(timesteps[i], (b,))
 
@@ -130,34 +168,66 @@ def make_sketch_guided_fn(
             emit_callback(callback, callback_steps, i, t, x_next)
             return (x_next, x0)
 
-        def plain_body(i, carry):
-            x, x0_prev = carry
-            t2 = jnp.broadcast_to(timesteps[i], (2 * b,))
-            inp = jnp.concatenate([x, x], axis=0)
-            ctx = jnp.concatenate([context_uncond, context_cond], axis=0)
-            eps = cfg_combine(unet_apply(unet_params, inp, t2, ctx), guidance_scale)
-            x_next, x0 = sampler_step(i, x, eps, x0_prev)
-            emit_callback(callback, callback_steps, i, t2, x_next)
-            return (x_next, x0)
+    def plain_body(i, carry):
+        x, x0_prev = carry
+        t2 = jnp.broadcast_to(timesteps[i], (2 * b,))
+        inp = jnp.concatenate([x, x], axis=0)
+        ctx = jnp.concatenate([context_uncond, context_cond], axis=0)
+        eps = cfg_combine(unet_apply(unet_params, inp, t2, ctx), guidance_scale)
+        x_next, x0 = sampler_step(i, x, eps, x0_prev)
+        emit_callback(callback, callback_steps, i, t2, x_next)
+        return (x_next, x0)
 
-        # unroll=1 keeps the exact round-2 while lowering (and its compile
-        # cache); unroll>1 switches to the scan-unrolled body (measured
-        # slower in-model — docs/ROADMAP.md, kept for reproducibility)
-        kw = {} if unroll == 1 else {"unroll": unroll}
-        carry = (latents0, jnp.zeros_like(latents0))
-        carry = jax.lax.fori_loop(0, n_guided, guided_body, carry, **kw)
-        carry = jax.lax.fori_loop(n_guided, num_steps, plain_body, carry, **kw)
-        return carry[0]
+    return guided_body, plain_body
 
-    if vae_decode is None:
-        return run
 
-    from sketch2img_tpu.pipelines.text2img import latents_to_image
+def make_sketch_guided_range_fns(
+    unet_apply: Callable,
+    unet_apply_taps: Callable,
+    lgp_apply: Callable,
+    schedule: DiffusionSchedule,
+    num_steps: int,
+    *,
+    beta: float = 1.6,
+    solver: str = "dpm++",
+    lgp_apply_fused: Optional[Callable] = None,
+) -> tuple:
+    """Range variants of the two loop phases for host-driven progress
+    callbacks (the axon TPU backend has no in-jit host callbacks — see
+    ``text2img.emit_callback``). Returns ``(guided_range, plain_range)``:
 
-    def full(unet_params, vae_params, lgp_vars, latents0, context_uncond,
-             context_cond, sketch_latent, guidance_scale):
-        latents = run(unet_params, lgp_vars, latents0, context_uncond,
-                      context_cond, sketch_latent, guidance_scale)
-        return latents_to_image(vae_decode, vae_params, latents)
+    * ``guided_range(unet_params, lgp_vars, x, x0_prev, noise0,
+      context_uncond, context_cond, sketch_latent, guidance_scale, start,
+      stop)`` — steps [start, stop) of the guided phase;
+    * ``plain_range(unet_params, x, x0_prev, noise0, context_uncond,
+      context_cond, guidance_scale, start, stop)`` — the plain-CFG phase.
 
-    return full
+    Bounds are traced (dynamic fori_loop), so ONE jit per phase serves any
+    segmentation; chaining segments over [0, num_steps) with the phase
+    split at ``num_guided_steps`` reproduces ``make_sketch_guided_fn``'s
+    trajectory (same bodies — ``_guided_plain_bodies``; pinned by tests).
+    ``noise0`` is the initial latents, threaded for the noise-level
+    features (pipeline.py:75)."""
+    ts, sampler_step = make_sampler_step(solver, schedule, num_steps)
+    timesteps = jnp.asarray(ts)
+
+    def guided_range(unet_params, lgp_vars, x, x0_prev, noise0,
+                     context_uncond, context_cond, sketch_latent,
+                     guidance_scale, start, stop):
+        guided_body, _ = _guided_plain_bodies(
+            unet_apply, unet_apply_taps, lgp_apply, schedule, timesteps,
+            sampler_step, beta, lgp_apply_fused, None, 1,
+            unet_params, lgp_vars, noise0, context_uncond, context_cond,
+            sketch_latent, guidance_scale)
+        return jax.lax.fori_loop(start, stop, guided_body, (x, x0_prev))
+
+    def plain_range(unet_params, x, x0_prev, noise0, context_uncond,
+                    context_cond, guidance_scale, start, stop):
+        _, plain_body = _guided_plain_bodies(
+            unet_apply, unet_apply_taps, lgp_apply, schedule, timesteps,
+            sampler_step, beta, lgp_apply_fused, None, 1,
+            unet_params, None, noise0, context_uncond, context_cond,
+            None, guidance_scale)
+        return jax.lax.fori_loop(start, stop, plain_body, (x, x0_prev))
+
+    return guided_range, plain_range

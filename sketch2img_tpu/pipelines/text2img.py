@@ -38,7 +38,14 @@ def emit_callback(callback: Optional[Callable], callback_steps: int,
     ``callback(i, t, latents)`` hook (modules/pipeline.py:34-35,113). Runs
     every ``callback_steps`` via ``jax.debug.callback`` (best-effort
     ordering, which matches a progress hook's contract). No-op when
-    ``callback`` is None, so the plain path traces to the same program."""
+    ``callback`` is None, so the plain path traces to the same program.
+
+    NOTE: the axon TPU backend does not implement host callbacks at all
+    (``UNIMPLEMENTED: axon_pjrt does not support host send/recv``) — the
+    runtime therefore drives callbacks from the HOST between range-program
+    dispatches (``make_text2img_range_fn`` / ``segment_plan``) and never
+    traces this on TPU; this in-jit variant remains for direct users of
+    the pipeline fns on backends that support it (CPU mesh)."""
     if callback is None:
         return
     import numpy as np
@@ -51,6 +58,55 @@ def emit_callback(callback: Optional[Callable], callback_steps: int,
         lambda: jax.debug.callback(host_cb, i, t[0], x),
         lambda: None,
     )
+
+
+def segment_plan(num_steps: int, callback_steps: int,
+                 *phase_bounds: int) -> list:
+    """Host-side sampling-segment plan for backends without in-jit host
+    callbacks (the axon TPU): split [0, num_steps) so every step with
+    ``i % callback_steps == 0`` ends a segment (the callback fires on the
+    host with that step's latents, exactly the reference's cadence,
+    modules/pipeline.py:113) and no segment crosses a phase bound (the
+    guided/plain split of the sketch pipeline). Returns [(start, stop)].
+    The range programs take traced bounds, so every segment of a phase
+    shares ONE compiled program regardless of the cadence."""
+    ends = {i + 1 for i in range(num_steps) if i % callback_steps == 0}
+    ends.update(b for b in phase_bounds if 0 < b < num_steps)
+    ends.add(num_steps)
+    bounds = sorted(ends)
+    return list(zip([0] + bounds[:-1], bounds))
+
+
+def make_text2img_range_fn(
+    unet_apply: Callable,
+    schedule: DiffusionSchedule,
+    num_steps: int,
+    *,
+    solver: str = "dpm++",
+) -> Callable:
+    """Range variant of the sampling loop for host-driven progress:
+    ``fn(unet_params, x, x0_prev, context_pair, guidance_scale, start,
+    stop) -> (x, x0_prev)`` runs solver steps [start, stop) of the same
+    ``num_steps`` plan. ``start``/``stop`` are traced (dynamic fori_loop
+    bounds), so one jit covers every segment; chaining the segments over
+    the full range reproduces ``make_text2img_fn`` step for step."""
+    ts, sampler_step = make_sampler_step(solver, schedule, num_steps)
+    timesteps = jnp.asarray(ts)
+
+    def run_range(unet_params, x, x0_prev, context_pair, guidance_scale,
+                  start, stop):
+        def body(i, carry):
+            x, x0_prev = carry
+            t = jnp.broadcast_to(timesteps[i], (2 * x.shape[0],))
+            inp = jnp.concatenate([x, x], axis=0)
+            eps_pair = unet_apply(unet_params, inp, t, context_pair)
+            eps = cfg_combine(eps_pair, guidance_scale)
+            x, x0 = sampler_step(i, x, eps, x0_prev)
+            return (x, x0)
+
+        return jax.lax.fori_loop(start, stop, body, (x, x0_prev))
+
+    return run_range
 
 
 def make_text2img_fn(

@@ -590,35 +590,111 @@ class SketchGuidedPipeline:
         noise = jax.random.normal(rng, mean.shape, mean.dtype)
         return sample_latent(mean, logvar, noise)
 
+    def _lgp_fused(self):
+        from sketch2img_tpu.models.lgp import lgp_fused_apply
+
+        def lgp_fused(v, taps, nl, hh, ww):
+            return lgp_fused_apply(
+                v, taps, nl, hh, ww,
+                compute_dtype=self.c.lgp.compute_dtype,
+            )
+
+        return lgp_fused
+
     def _get_fn(self, kind: str, steps: int, callback_steps: Optional[int] = None,
                 solver: str = "dpm++", remat: bool = False):
-        key = (kind, steps, callback_steps, solver, remat)
+        if callback_steps is not None:
+            # progress callbacks are HOST-driven (segmented range programs):
+            # the axon TPU backend has no in-jit host callbacks
+            # (UNIMPLEMENTED: host send/recv), and the range programs take
+            # traced bounds so every cadence shares the same compiles
+            return self._get_callback_runner(kind, steps, callback_steps,
+                                             solver, remat)
+        key = (kind, steps, None, solver, remat)
         if key not in self._fns:
-            cb = self._trampoline_callback if callback_steps is not None else None
-            cb_steps = callback_steps if callback_steps is not None else 1
             if kind == "sketch":
-                from sketch2img_tpu.models.lgp import lgp_fused_apply
-
-                def lgp_fused(v, taps, nl, hh, ww):
-                    return lgp_fused_apply(
-                        v, taps, nl, hh, ww,
-                        compute_dtype=self.c.lgp.compute_dtype,
-                    )
-
                 unet_fwd = self.c.unet_apply_r if remat else self.c.unet_apply
                 unet_taps = (self.c.unet_apply_taps_r if remat
                              else self.c.unet_apply_taps)
                 fn = make_sketch_guided_fn(
                     unet_fwd, unet_taps, self.c.lgp_apply,
-                    self.c.schedule, steps, lgp_apply_fused=lgp_fused,
-                    solver=solver, callback=cb, callback_steps=cb_steps,
+                    self.c.schedule, steps, lgp_apply_fused=self._lgp_fused(),
+                    solver=solver,
                 )
             else:
                 fn = make_text2img_fn(self.c.unet_apply, self.c.schedule, steps,
-                                      solver=solver,
-                                      callback=cb, callback_steps=cb_steps)
+                                      solver=solver)
             self._fns[key] = jax.jit(fn)
         return self._fns[key]
+
+    def _get_callback_runner(self, kind: str, steps: int, cb_steps: int,
+                             solver: str, remat: bool):
+        """Sampling with the reference's ``callback(i, t, latents)`` hook
+        (modules/pipeline.py:34-35,113), driven from the host: the loop is
+        dispatched as range programs (traced [start, stop) bounds — ONE
+        compile per phase regardless of cadence) and the callback fires
+        between dispatches with that step's fetched latents. Exactly the
+        monolithic trajectory (same loop bodies; pinned by tests), works on
+        backends without host-callback support (the axon TPU)."""
+        from sketch2img_tpu.core.schedulers import make_sampler_step
+        from sketch2img_tpu.pipelines.text2img import (
+            make_text2img_range_fn,
+            segment_plan,
+        )
+
+        ts = [int(t) for t in make_sampler_step(
+            solver, self.c.schedule, steps)[0]]
+        trampoline = self._trampoline_callback
+
+        if kind == "sketch":
+            from sketch2img_tpu.pipelines.sketch_guided import (
+                make_sketch_guided_range_fns,
+                num_guided_steps,
+            )
+
+            n_guided = num_guided_steps(steps)
+            rkey = ("sketch_range", steps, solver, remat)
+            if rkey not in self._fns:
+                unet_fwd = self.c.unet_apply_r if remat else self.c.unet_apply
+                unet_taps = (self.c.unet_apply_taps_r if remat
+                             else self.c.unet_apply_taps)
+                g, p = make_sketch_guided_range_fns(
+                    unet_fwd, unet_taps, self.c.lgp_apply, self.c.schedule,
+                    steps, solver=solver, lgp_apply_fused=self._lgp_fused())
+                self._fns[rkey] = (jax.jit(g), jax.jit(p))
+            gfn, pfn = self._fns[rkey]
+            plan = segment_plan(steps, cb_steps, n_guided)
+
+            def run(up, lv, lat0, ctx_u, ctx_c, target, gs):
+                x, x0 = lat0, jnp.zeros_like(lat0)
+                for a, b in plan:
+                    if a < n_guided:
+                        x, x0 = gfn(up, lv, x, x0, lat0, ctx_u, ctx_c,
+                                    target, gs, a, b)
+                    else:
+                        x, x0 = pfn(up, x, x0, lat0, ctx_u, ctx_c, gs, a, b)
+                    if (b - 1) % cb_steps == 0:
+                        trampoline(b - 1, ts[b - 1], np.asarray(x))
+                return x
+
+            return run
+
+        rkey = ("text_range", steps, solver)
+        if rkey not in self._fns:
+            self._fns[rkey] = jax.jit(make_text2img_range_fn(
+                self.c.unet_apply, self.c.schedule, steps, solver=solver))
+        rfn = self._fns[rkey]
+        plan = segment_plan(steps, cb_steps)
+
+        def run(up, lat0, ctx_pair, gs):
+            x, x0 = lat0, jnp.zeros_like(lat0)
+            for a, b in plan:
+                x, x0 = rfn(up, x, x0, ctx_pair, gs, a, b)
+                if (b - 1) % cb_steps == 0:
+                    trampoline(b - 1, ts[b - 1], np.asarray(x))
+            return x
+
+        return run
 
     def __call__(
         self,
@@ -777,13 +853,9 @@ class SketchGuidedPipeline:
                 latents = fn(self.c.unet_params, latents0,
                              jnp.concatenate([uncond, cond], axis=0), guidance_scale)
         finally:
-            if callback is not None:
-                # jax.debug.callback delivery is asynchronous: flush every
-                # pending progress event BEFORE detaching the trampoline,
-                # or late deliveries are silently dropped (deterministic on
-                # a loaded/1-core host where the callback thread lags the
-                # cached-program dispatch)
-                jax.effects_barrier()
+            # callbacks are host-driven (synchronous with the segment
+            # dispatches — _get_callback_runner), so all events have fired
+            # by the time the sampling call returns
             self._user_callback = None
             self._cb_batch = None
 
