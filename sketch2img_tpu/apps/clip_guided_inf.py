@@ -55,24 +55,37 @@ def load_clip_weights(path: str, num_layers: int) -> dict:
 
 @functools.lru_cache(maxsize=None)
 def _init_latents_fn(h: int, w: int):
-    """jit'd initial-noise draw — same PRNGKey->normal chain as the old
-    eager code (bit-identical), collapsed to one device dispatch (eager ops
-    through the axon tunnel are ~ms each, see runtime.py)."""
+    """jit'd per-image initial-noise draws: (B,) int32 seeds ->
+    (B, h, w, 4). Image i's noise is a function of seed[i] alone — the
+    batch-invariance that lets serving merge unrelated requests. A scalar
+    seed at B=1 draws bit-identically to the historical single-image path
+    (``normal(PRNGKey(s), (1,h,w,4))`` — same key, same flattened draw
+    count)."""
     import jax
     import jax.numpy as jnp
 
-    return jax.jit(lambda s: jax.random.normal(
-        jax.random.PRNGKey(s), (1, h, w, 4), jnp.float32))
+    return jax.jit(jax.vmap(lambda s: jax.random.normal(
+        jax.random.PRNGKey(s), (h, w, 4), jnp.float32)))
 
 
 class ClipGuidedPipeline:
     def __init__(self, model_path: str = None, attn_weights: str = None,
                  clip_weights: str = None, *, components=None,
-                 clip_config=None, cast_bf16: bool = True):
+                 clip_config=None, cast_bf16: bool = True, mesh=None):
         """Build from a diffusers dir (``model_path``) or share an
         already-loaded ``SDComponents`` (``components`` — how apps/serve.py
         adds the injection route without loading the SD stack twice).
-        ``clip_config``/``cast_bf16`` exist for tiny CPU tests."""
+        ``clip_config``/``cast_bf16`` exist for tiny CPU tests.
+
+        ``mesh`` (optional, a ``parallel.make_mesh()`` mesh with a data
+        axis) turns the sampling/decode programs SPMD with the batch
+        sharded over ``data`` — the same serving scale-out surface as
+        ``SketchGuidedPipeline(mesh=...)``. The injection route shards
+        over data ONLY: a model axis > 1 is refused loudly here (the
+        injected ``sketch_attn`` modules are replicated and would merge
+        a replicated tree into Megatron-sharded base params — an
+        unvalidated program; apps/serve.py surfaces this refusal at
+        startup when ``--inject_attn_weights`` meets ``--model_parallel``)."""
         import jax
         import jax.numpy as jnp
 
@@ -131,6 +144,36 @@ class ClipGuidedPipeline:
             self.c.cast_params()
             self.unet_params = cast_float_params(self.unet_params, jnp.bfloat16)
             self.clip_params = cast_float_params(self.clip_params, jnp.bfloat16)
+        self.mesh = mesh
+        self._dp = 1
+        if mesh is not None:
+            from sketch2img_tpu.parallel.mesh import (
+                DATA_AXIS,
+                MODEL_AXIS,
+                replicated,
+            )
+
+            if mesh.shape.get(MODEL_AXIS, 1) > 1:
+                raise ValueError(
+                    "the injection route supports data-parallel meshes only: "
+                    "a model axis > 1 would merge the replicated sketch_* "
+                    "injection params into Megatron-sharded base UNet params "
+                    "(untested program). Use model_parallel=1, or serve the "
+                    "injection route on its own data mesh.")
+            self._dp = mesh.shape[DATA_AXIS]
+            rep = replicated(mesh)
+
+            def put(tree):
+                return jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, rep), tree)
+
+            # replicate everything this route touches (no-op re-placement
+            # for components a meshed SketchGuidedPipeline already put)
+            self.unet_params = put(self.unet_params)
+            self.clip_params = put(self.clip_params)
+            self.c.unet_params = put(self.c.unet_params)
+            self.c.vae_params = put(self.c.vae_params)
+            self.c.text_params = put(self.c.text_params)
         self._fns = {}
         # text-encode helper built ONCE: it caches the jitted text encoder
         # (rebuilding per call would retrace it every generation)
@@ -138,10 +181,10 @@ class ClipGuidedPipeline:
 
         self._helper = SketchGuidedPipeline(self.c)
 
-    def encode_sketch(self, spimg01: np.ndarray):
+    def _preprocess_sketch(self, spimg01: np.ndarray) -> np.ndarray:
         """CLIPImageProcessor parity: [0,1] -> resize 224 bicubic -> CLIP
-        mean/std normalize -> ViT last_hidden_state (clip_guided_inf.py:100-105)."""
-        import jax.numpy as jnp
+        mean/std normalize (clip_guided_inf.py:100-105). Host-side; one
+        (side, side, 3) float32 array per sketch."""
         from PIL import Image
 
         arr = np.asarray(spimg01, np.float32)
@@ -154,44 +197,137 @@ class ClipGuidedPipeline:
             (side, side), Image.BICUBIC
         )
         px = np.asarray(img, np.float32) / 255.0
-        px = (px - CLIP_MEAN) / CLIP_STD
+        return (px - CLIP_MEAN) / CLIP_STD
+
+    def encode_sketch(self, spimg01):
+        """Sketch(es) -> ViT last_hidden_state. One array -> (1, S, D); a
+        list of per-image sketches -> (B, S, D), encoded in ONE ViT call
+        (different capture resolutions are fine — everything resizes to the
+        CLIP input size, so merged requests never gate on sketch shape)."""
+        import jax.numpy as jnp
+
+        if isinstance(spimg01, (list, tuple)):
+            px = np.stack([self._preprocess_sketch(s) for s in spimg01])
+        else:
+            px = self._preprocess_sketch(spimg01)[None]
         if "clip" not in self._fns:  # jit: one dispatch, not one per ViT op
             import jax
 
             self._fns["clip"] = jax.jit(
                 lambda p, x: self.clip.apply({"params": p}, x))
-        return self._fns["clip"](self.clip_params, jnp.asarray(px)[None])
+        return self._fns["clip"](self.clip_params, jnp.asarray(px))
+
+    def _shard_batch(self, x):
+        """Shard an array's leading (batch) axis over the mesh's data axis
+        (no-op without a mesh)."""
+        if self.mesh is None:
+            return x
+        import jax
+
+        from sketch2img_tpu.parallel.mesh import batch_sharding
+
+        return jax.device_put(x, batch_sharding(self.mesh, np.ndim(x)))
 
     def __call__(self, prompt, *, negative_prompt="", num_inference_steps=25,
                  guidance_scale=7.5, width=512, height=512, seed=0,
                  strength=0.5, spimg=None) -> np.ndarray:
+        """-> (H, W, 3) float image in [0, 1] for a single string prompt,
+        else (B, H, W, 3) for a prompt list (serving extension beyond the
+        reference's single-image demo, clip_guided_inf.py:78-118).
+
+        ``seed`` may be a list of one seed per image: image i's initial
+        noise depends only on seed[i], so batched requests reproduce
+        single-image results (the micro-batcher merge contract).
+        ``spimg`` is one array (conditioning every image), a list of B
+        per-image sketches, or None (plain CFG through the injected UNet —
+        zero state, zero scale). ``strength`` is one float or a list of B
+        per-image floats (each request keeps its own UI slider).
+        """
         import jax
         import jax.numpy as jnp
 
-        from sketch2img_tpu.pipelines.attn_injected import (
-            cfg_injection_state,
-            make_attn_injected_fn,
-        )
+        from sketch2img_tpu.pipelines.attn_injected import make_attn_injected_fn
         from sketch2img_tpu.pipelines.text2img import latents_to_image
+        from sketch2img_tpu.runtime import canon_seed
 
-        uncond, cond = self._helper.encode_prompt(prompt, negative_prompt)
+        prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+        batch = len(prompts)
+        single = isinstance(prompt, str)
+
+        # data-mesh padding: SPMD programs need batch % data-axis == 0.
+        # Padding rides the per-image-seed mode (bitwise independent per
+        # image), so the first ``batch`` images follow exactly the unpadded
+        # trajectories; pad rows are computed and discarded.
+        pad = (-batch) % self._dp
+        if pad:
+            if isinstance(seed, (list, tuple)):
+                if len(seed) != batch:
+                    raise ValueError(
+                        f"got {len(seed)} seeds for a batch of {batch}")
+            elif batch == 1:
+                seed = [seed]  # scalar seed at B=1 == per-image bitwise
+            else:
+                raise ValueError(
+                    f"batch {batch} doesn't divide the mesh data axis "
+                    f"({self._dp}): pass per-image seeds (seed=[...]) so "
+                    "padded results stay exact, or use a divisible batch")
+            seed = list(seed) + [1] * pad
+            if isinstance(spimg, (list, tuple)):
+                spimg = list(spimg) + [spimg[-1]] * pad
+        batch_p = batch + pad
+
+        if isinstance(seed, (list, tuple)):
+            if len(seed) != batch_p:
+                raise ValueError(
+                    f"got {len(seed)} seeds for a batch of {batch}")
+            seeds = [canon_seed(s) if s != 0 else np.random.randint(2**31 - 1)
+                     for s in seed]
+        else:
+            seeds = [canon_seed(seed) if seed != 0
+                     else np.random.randint(2**31 - 1)] * batch_p
+        if isinstance(spimg, (list, tuple)) and len(spimg) != batch_p:
+            raise ValueError(
+                f"got {len(spimg)} sketches for a batch of {batch}")
+
+        uncond, cond = self._helper.encode_prompt(
+            prompts if not single else prompt, negative_prompt)
+        if pad:  # pad the CFG pair by repeating the last row
+            uncond = jnp.concatenate(
+                [uncond, jnp.repeat(uncond[-1:], pad, axis=0)])
+            cond = jnp.concatenate(
+                [cond, jnp.repeat(cond[-1:], pad, axis=0)])
         ctx_pair = jnp.concatenate([uncond, cond], axis=0)
 
         f = self.c.vae_scale_factor
         h, w = height // f, width // f
-        from sketch2img_tpu.runtime import canon_seed
-
         latents0 = _init_latents_fn(h, w)(
-            np.int32(canon_seed(seed) if seed != 0
-                     else np.random.randint(2**31 - 1)))
+            jnp.asarray(np.asarray(seeds, np.int32)))
 
         if spimg is not None:
-            hidden = self.encode_sketch(spimg)
-            state = cfg_injection_state(hidden)
+            hidden = self.encode_sketch(spimg)  # (1 or B_p, S, D)
+            if hidden.shape[0] == 1 and batch_p > 1:
+                hidden = jnp.broadcast_to(
+                    hidden, (batch_p,) + hidden.shape[1:])
+            # stack([zeros; h]) over the CFG pair (clip_guided_inf.py:107)
+            state = jnp.concatenate([jnp.zeros_like(hidden), hidden], axis=0)
             scale = strength  # set_scale(strength), clip_guided_inf.py:108
         else:
-            state = jnp.zeros((2, self.n_tokens, self.state_dim))
+            state = jnp.zeros((2 * batch_p, self.n_tokens, self.state_dim))
             scale = 0.0
+        # per-image strengths: one float broadcasts; a list rides each
+        # request's own slider through the merged program
+        if isinstance(scale, (list, tuple)):
+            if len(scale) != batch:
+                raise ValueError(
+                    f"got {len(scale)} strengths for a batch of {batch}")
+            scale = np.asarray(list(scale) + [0.0] * pad, np.float32)
+        else:
+            scale = np.full((batch_p,), scale, np.float32)
+
+        latents0 = self._shard_batch(latents0)
+        ctx_pair = self._shard_batch(ctx_pair)
+        state = self._shard_batch(state)
+        scale = self._shard_batch(jnp.asarray(scale))
 
         steps = int(num_inference_steps)
         if steps not in self._fns:
@@ -207,7 +343,8 @@ class ClipGuidedPipeline:
             self._fns["decode"] = jax.jit(
                 functools.partial(latents_to_image, self.c.vae_decode))
         img = self._fns["decode"](self.c.vae_params, latents)
-        return np.asarray(img[0], np.float32)
+        img = np.asarray(img, np.float32)[:batch]  # drop mesh pad rows
+        return img[0] if single else img
 
 
 def main():

@@ -29,6 +29,12 @@ attention-injection weights) the request routes to the CLIP-variant
 pipeline instead (reference demo modules/clip_guided_inf.py): the sketch
 conditions through CLIP-ViT attention injection rather than LGP gradient
 guidance, and ``strength`` (0..1, default 0.5) sets the injection scale.
+Inject requests take prompt lists, per-image ``seed`` lists and per-image
+``strength`` lists like the main route, participate in the micro-batcher
+(single-prompt scalar-seed requests merge, each keeping its own sketch and
+strength), and shard over ``--data_parallel`` meshes; ``--model_parallel``
+is refused at startup for this route (data-parallel only). Streaming is
+not supported for inject.
 
 Behavior built for TPU serving:
   * one warmup generation per --warmup size at startup, so the 3-5 minute
@@ -120,8 +126,9 @@ class _Batcher:
     """
 
     def __init__(self, pipe, lock, window_s: float, max_batch: int,
-                 metrics=None):
+                 metrics=None, inject_pipe=None):
         self.pipe = pipe
+        self.inject_pipe = inject_pipe
         self.lock = lock
         self.window = window_s
         self.max_batch = max_batch
@@ -158,9 +165,17 @@ class _Batcher:
     def _key(it):
         # sketch CONTENT is per-image (the pipeline takes one sketch per
         # batch entry) — only sketch-vs-no-sketch and the sketch resolution
-        # select a different XLA program, so only those gate merging
+        # select a different XLA program, so only those gate merging. On
+        # the inject route the sketch RESOLUTION doesn't gate either
+        # (everything resizes to the CLIP input size), and strength is a
+        # per-image vector in the program, so neither appears in the key.
         p = it["params"]
         sk = it["sketch"]
+        mode = p.get("mode", "sketch")
+        if mode == "inject":
+            return ("inject", p["num_inference_steps"], p["width"],
+                    p["height"], p["guidance_scale"], p["negative_prompt"],
+                    sk is None)
         return (p["num_inference_steps"], p["width"], p["height"],
                 p["guidance_scale"], p["solver"], p["negative_prompt"],
                 None if sk is None else sk.shape)
@@ -212,17 +227,34 @@ class _Batcher:
                             self.metrics["batch_sizes"].get(key, 0) + 1)
                 sketches = [it["sketch"] for it in items]
                 self.calls += 1
-                imgs = self.pipe(
-                    prompts,
-                    negative_prompt=p0["negative_prompt"],
-                    num_inference_steps=p0["num_inference_steps"],
-                    guidance_scale=p0["guidance_scale"],
-                    width=p0["width"], height=p0["height"],
-                    seed=seeds,
-                    sketch_image=(None if sketches[0] is None else sketches),
-                    solver=p0["solver"],
-                )
-                flags = self.pipe.last_nsfw_flags
+                if p0.get("mode") == "inject":
+                    # CLIP attention-injection route: per-image seeds AND
+                    # per-image strengths keep each merged request's result
+                    # identical to its solo run
+                    imgs = self.inject_pipe(
+                        prompts,
+                        negative_prompt=p0["negative_prompt"],
+                        num_inference_steps=p0["num_inference_steps"],
+                        guidance_scale=p0["guidance_scale"],
+                        width=p0["width"], height=p0["height"],
+                        seed=seeds,
+                        strength=[it["params"]["strength"] for it in items],
+                        spimg=(None if sketches[0] is None else sketches),
+                    )
+                    flags = None  # no safety checker (reference parity)
+                else:
+                    imgs = self.pipe(
+                        prompts,
+                        negative_prompt=p0["negative_prompt"],
+                        num_inference_steps=p0["num_inference_steps"],
+                        guidance_scale=p0["guidance_scale"],
+                        width=p0["width"], height=p0["height"],
+                        seed=seeds,
+                        sketch_image=(None if sketches[0] is None
+                                      else sketches),
+                        solver=p0["solver"],
+                    )
+                    flags = self.pipe.last_nsfw_flags
             imgs = np.asarray(imgs)
             for i, it in enumerate(items):
                 it["imgs"] = imgs[i:i + 1]
@@ -341,15 +373,22 @@ class GenerateHandler(BaseHTTPRequestHandler):
                     raise ValueError(
                         "injection route not enabled (start the server "
                         "with --inject_attn_weights)")
-                if not isinstance(prompt, str):
-                    raise ValueError("mode=inject takes a single prompt")
-                if isinstance(req.get("seed"), list):
-                    # the inject route is single-image; a list seed would
-                    # hit int() below and 500 instead of 400 (ADVICE r3)
-                    raise ValueError("mode=inject takes a single int seed")
                 if req.get("stream"):
                     raise ValueError("stream is not supported for "
                                      "mode=inject")
+                if isinstance(req.get("strength"), list):
+                    req["strength"] = list(map(float, req["strength"]))
+                    n = len(prompt) if isinstance(prompt, list) else 1
+                    if len(req["strength"]) != n:
+                        raise ValueError(
+                            f"got {len(req['strength'])} strengths for "
+                            f"{n} prompts")
+                if isinstance(req.get("seed"), list):
+                    n = len(prompt) if isinstance(prompt, list) else 1
+                    if len(req["seed"]) != n:
+                        raise ValueError(
+                            f"got {len(req['seed'])} seeds for "
+                            f"{n} prompts")
             if isinstance(req.get("seed"), list):
                 req["seed"] = list(map(int, req["seed"]))
             if req.get("sketch_png_b64"):
@@ -363,19 +402,40 @@ class GenerateHandler(BaseHTTPRequestHandler):
             b64 = req.get("sketch_png_b64")
             sketch = _decode_sketch(b64) if b64 else None
             if req.get("mode") == "inject":
-                with self._locked(timeout):
-                    imgs = self.inject_pipe(
-                        prompt,
-                        negative_prompt=req.get("negative_prompt", ""),
-                        num_inference_steps=int(
-                            req.get("num_inference_steps", 25)),
-                        guidance_scale=float(req.get("guidance_scale", 7.5)),
-                        width=_snap(req.get("width", 512)),
-                        height=_snap(req.get("height", 512)),
-                        seed=int(req.get("seed", 0)),
-                        strength=float(req.get("strength", 0.5)),
-                        spimg=sketch,
-                    )
+                seed = (req["seed"] if isinstance(req.get("seed"), list)
+                        else int(req.get("seed", 0)))
+                strength = req.get("strength", 0.5)
+                params = {
+                    "mode": "inject",
+                    "prompt": prompt,
+                    "negative_prompt": req.get("negative_prompt", ""),
+                    "num_inference_steps": int(
+                        req.get("num_inference_steps", 25)),
+                    "guidance_scale": float(req.get("guidance_scale", 7.5)),
+                    "width": _snap(req.get("width", 512)),
+                    "height": _snap(req.get("height", 512)),
+                    "seed": seed,
+                    "strength": (strength if isinstance(strength, list)
+                                 else float(strength)),
+                }
+                batchable = (self.batcher is not None
+                             and self.batcher.inject_pipe is not None
+                             and isinstance(prompt, str)
+                             and not isinstance(seed, list)
+                             and not isinstance(strength, list))
+                if batchable:
+                    # resolve seed 0 server-side so batched results stay
+                    # deterministic per request (merge contract)
+                    params["seed"] = seed or int(
+                        np.random.randint(1, 2**31 - 1))
+                    imgs, _ = self.batcher.submit(params, sketch,
+                                                  timeout=timeout)
+                else:
+                    with self._locked(timeout):
+                        imgs = self.inject_pipe(
+                            prompt, spimg=sketch,
+                            **{k: v for k, v in params.items()
+                               if k not in ("mode", "prompt")})
                 # nsfw None: the clip demo has no safety checker
                 # (reference parity, clip_guided_inf.py)
                 return self._respond(req, np.asarray(imgs), None, t0)
@@ -547,7 +607,7 @@ def make_server(pipe, host: str = "127.0.0.1", port: int = 8000,
                   "max_pending": max_pending,
                   "request_timeout_s": request_timeout_s},
         "batcher": (_Batcher(pipe, lock, batch_window_ms / 1e3, max_batch,
-                             metrics=metrics)
+                             metrics=metrics, inject_pipe=inject_pipe)
                     if batch_window_ms > 0 else None),
     })
     server = ThreadingHTTPServer((host, port), handler)
@@ -580,9 +640,17 @@ def warmup(server, sizes, *, sketch: bool = True) -> None:
                        sketch_image=(sk if b == 1
                                      else [sk.copy() for _ in range(b)]))
         if h.inject_pipe is not None:
-            h.inject_pipe("warmup", num_inference_steps=steps, width=w,
-                          height=ht, seed=1,
-                          spimg=np.ones((ht, w), np.float32))
+            for b in batches:
+                # b > 1 warms the batcher's merged program: prompt list,
+                # per-image seeds/strengths, per-image sketch list
+                one = b == 1
+                sk = np.ones((ht, w), np.float32)
+                h.inject_pipe(
+                    "warmup" if one else ["warmup"] * b,
+                    num_inference_steps=steps, width=w, height=ht,
+                    seed=1 if one else list(range(1, b + 1)),
+                    strength=0.5 if one else [0.5] * b,
+                    spimg=(sk if one else [sk.copy() for _ in range(b)]))
     h.state["warm"] = True
 
 
@@ -633,6 +701,15 @@ def main():
                 f"--data_parallel x --model_parallel = {n} needs {n} "
                 f"devices, found {len(devs)}")
         mesh = make_mesh(devs[:n], model_parallel=args.model_parallel)
+    if args.inject_attn_weights and args.model_parallel > 1:
+        # refuse loudly at startup: the injection route shards over data
+        # only (ClipGuidedPipeline docstring) — silently building an
+        # inject pipeline over TP-sharded base params would jit an
+        # unvalidated program
+        raise SystemExit(
+            "--inject_attn_weights cannot be combined with "
+            "--model_parallel > 1: the injection route is data-parallel "
+            "only. Use --data_parallel for multi-chip injection serving.")
     pipe = build_pipeline(args.model_path, args.lgp_path, mesh=mesh)
     inject_pipe = None
     if args.inject_attn_weights:
@@ -641,7 +718,7 @@ def main():
         inject_pipe = ClipGuidedPipeline(
             attn_weights=args.inject_attn_weights,
             clip_weights=args.inject_clip_weights,
-            components=pipe.c)
+            components=pipe.c, mesh=mesh)
     server = make_server(pipe, args.host, args.port,
                          batch_window_ms=args.batch_window_ms,
                          max_batch=args.max_batch,

@@ -108,7 +108,10 @@ class TransformerBlock(nn.Module):
                 h, context=inj_state.astype(x.dtype)
             )
             s = nn.Dense(dim, dtype=dt, name="sketch_conv")(s)  # Conv1d(C,C,1) == channel Dense
-            x = x + inj_scale * s
+            # inj_scale: python scalar (reference UI slider) or a broadcast-
+            # able array — (2B,1,1) carries per-image strengths so serving
+            # can merge requests with different sliders into one program
+            x = x + jnp.asarray(inj_scale, s.dtype) * s
         elif self.injection == "clip" and inj_state is not None:
             # self-attn over [hidden; projected CLIP tokens], keep first N
             # (clip_guided_attn.py:113-125). The reference attends with all
@@ -135,7 +138,7 @@ class TransformerBlock(nn.Module):
                 hx, context=cat, kv_len=true_len
             )
             s = nn.Dense(dim, dtype=dt, name="sketch_conv")(s)
-            x = x + inj_scale * s
+            x = x + jnp.asarray(inj_scale, s.dtype) * s  # scalar or (2B,1,1)
 
         h = LayerNorm(name="norm2")(x)
         x = x + CrossAttention(

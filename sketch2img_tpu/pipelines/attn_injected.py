@@ -51,13 +51,21 @@ def make_attn_injected_fn(
     def run(unet_params, latents0, context_pair, injection_state,
             injection_scale, guidance_scale):
         states = [injection_state] * num_injection_sites
+        b = latents0.shape[0]
+        # ``injection_scale``: scalar (the reference's one UI slider,
+        # clip_guided_inf.py:108) or a (B,) vector of per-image strengths —
+        # the serving extension that lets the micro-batcher merge requests
+        # with different sliders into one program. Tiled over the CFG pair
+        # and broadcast over tokens/channels inside the blocks.
+        sc = jnp.broadcast_to(jnp.asarray(injection_scale, jnp.float32), (b,))
+        sc_pair = jnp.concatenate([sc, sc])[:, None, None]
 
         def body(i, carry):
             x, x0_prev = carry
             t = jnp.broadcast_to(timesteps[i], (2 * x.shape[0],))
             inp = jnp.concatenate([x, x], axis=0)
             eps_pair = unet_apply_injected(
-                unet_params, inp, t, context_pair, states, injection_scale
+                unet_params, inp, t, context_pair, states, sc_pair
             )
             eps = cfg_combine(eps_pair, guidance_scale)
             return sampler_step(i, x, eps, x0_prev)

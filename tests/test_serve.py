@@ -144,17 +144,23 @@ def test_generate_inject_route(server):
                              if k != "sketch_png_b64"})
     assert resp4.status == 200
 
-    # prompt lists are a sketch/text2img feature, not an inject one
-    resp5, _ = _request(server, "POST", "/generate",
-                        {**body, "prompt": ["a", "b"]})
-    assert resp5.status == 400
+    # prompt lists + per-image seed AND strength lists (round-5: the
+    # inject route has the same serving surface as the main route)
+    resp5, data5 = _request(server, "POST", "/generate",
+                            {**body, "prompt": ["a", "b"], "seed": [1, 2],
+                             "strength": [0.3, 0.9], "response": "json"})
+    assert resp5.status == 200
+    assert len(json.loads(data5)["images"]) == 2
 
-    # ... and so are per-image seed lists: client error, not a 500
-    # (ADVICE r3: int() on a list used to escape as a server fault)
+    # mismatched lengths stay client errors, not 500s
     resp6, data6 = _request(server, "POST", "/generate",
-                            {**body, "seed": [1, 2]})
+                            {**body, "prompt": ["a", "b"], "seed": [1]})
     assert resp6.status == 400
-    assert "single int seed" in json.loads(data6)["error"]
+    assert "seeds" in json.loads(data6)["error"]
+    resp7, data7 = _request(server, "POST", "/generate",
+                            {**body, "strength": [0.1, 0.2]})
+    assert resp7.status == 400
+    assert "strengths" in json.loads(data7)["error"]
 
 
 def test_inject_route_requires_weights(server):
@@ -224,6 +230,82 @@ def test_micro_batching_merges_concurrent_requests(server):
         # handful of pixels one step differently than bs1 (fusion order)
         diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
         assert diff.max() <= 1 and (diff > 0).mean() < 1e-3, diff.max()
+    finally:
+        bsrv.shutdown()
+
+
+class _FlakyPipe:
+    """Wraps the real pipeline; raises on demand to simulate a device-side
+    failure (an XlaRuntimeError mid-generation)."""
+
+    def __init__(self, real):
+        self.real = real
+        self.fail_next = 0
+        self.last_nsfw_flags = None
+
+    def __call__(self, *a, **kw):
+        if self.fail_next:
+            self.fail_next -= 1
+            raise RuntimeError("injected device fault")
+        out = self.real(*a, **kw)
+        self.last_nsfw_flags = self.real.last_nsfw_flags
+        return out
+
+
+def test_device_fault_releases_lock_and_recovers(server):
+    """When a pipeline call raises mid-request (simulated device failure),
+    the worker lock is released, /metrics counts the error, the batcher
+    stays alive, and the NEXT request succeeds — no wedged lock, no stale
+    batcher state (VERDICT r4 item 8). Covers the micro-batched, direct,
+    and streaming paths."""
+    pipe = _FlakyPipe(server.handler_class.pipe)
+    bsrv = make_server(pipe, "127.0.0.1", 0, batch_window_ms=50, max_batch=2)
+    warmup(bsrv, [(128, 128, 2)])
+    t = threading.Thread(target=bsrv.serve_forever, daemon=True)
+    t.start()
+    h = bsrv.handler_class
+    body = {"prompt": "a cat", "num_inference_steps": 2,
+            "width": 128, "height": 128, "seed": 5}
+    try:
+        # --- micro-batched path ---
+        pipe.fail_next = 1
+        resp, data = _request(bsrv, "POST", "/generate", body)
+        assert resp.status == 500
+        assert "injected device fault" in json.loads(data)["error"]
+        assert h.lock.acquire(blocking=False), "worker lock wedged"
+        h.lock.release()
+        resp, _ = _request(bsrv, "POST", "/generate", body)  # batcher alive
+        assert resp.status == 200
+
+        # --- direct (non-batchable) path ---
+        pipe.fail_next = 1
+        resp, data = _request(bsrv, "POST", "/generate",
+                              {**body, "num_images_per_prompt": 2})
+        assert resp.status == 500
+        assert h.lock.acquire(blocking=False), "worker lock wedged"
+        h.lock.release()
+
+        # --- streaming path: headers already sent -> event: error ---
+        pipe.fail_next = 1
+        conn = http.client.HTTPConnection("127.0.0.1", bsrv.server_port,
+                                          timeout=600)
+        conn.request("POST", "/generate",
+                     body=json.dumps({**body, "stream": True}))
+        resp = conn.getresponse()
+        assert resp.status == 200  # SSE stream opened before the fault
+        raw = resp.read().decode()
+        conn.close()
+        assert "event: error" in raw
+        assert "injected device fault" in raw
+        assert h.lock.acquire(blocking=False), "worker lock wedged"
+        h.lock.release()
+
+        # server still healthy: errors counted, nothing pending, next ok
+        resp, data = _request(bsrv, "GET", "/metrics")
+        m = json.loads(data)
+        assert m["errors"] >= 3 and m["pending"] == 0
+        resp, _ = _request(bsrv, "POST", "/generate", body)
+        assert resp.status == 200
     finally:
         bsrv.shutdown()
 
@@ -410,6 +492,76 @@ def test_warmup_compiles_per_image_sketch_programs(server):
     # program the batcher runs for merged different-sketch requests)
     assert (1, None) in calls and (2, None) in calls
     assert (2, 2) in calls
+
+
+def test_micro_batching_merges_inject_requests(server):
+    """Two concurrent mode=inject requests with DIFFERENT sketches and
+    DIFFERENT strengths merge into ONE injected-pipeline call, and each
+    response equals the solo run with its own (seed, sketch, strength) —
+    the round-5 contract that makes the injection route a first-class
+    citizen of the serving stack."""
+    import io as _io
+
+    from PIL import Image
+
+    from sketch2img_tpu.apps.serve import make_server, warmup
+
+    h = server.handler_class
+    bsrv = make_server(h.pipe, "127.0.0.1", 0, batch_window_ms=1500,
+                       max_batch=2, inject_pipe=h.inject_pipe)
+    warmup(bsrv, [(128, 128, 2)])
+    t = threading.Thread(target=bsrv.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(1)
+        cases = {"cat": (31, 0.3), "dog": (32, 0.9)}
+        sketches = {name: rng.integers(0, 256, (64, 64),
+                                       dtype=np.uint8)
+                    for name in cases}
+
+        def sketch_b64(arr):
+            buf = _io.BytesIO()
+            Image.fromarray(arr).save(buf, format="PNG")
+            return base64.b64encode(buf.getvalue()).decode()
+
+        results = {}
+
+        def fire(name):
+            seed, strength = cases[name]
+            resp, data = _request(bsrv, "POST", "/generate", {
+                "prompt": f"a {name}", "mode": "inject",
+                "num_inference_steps": 2, "width": 128, "height": 128,
+                "seed": seed, "strength": strength,
+                "sketch_png_b64": sketch_b64(sketches[name]),
+                "response": "json",
+            })
+            results[name] = (resp.status, json.loads(data))
+
+        calls0 = bsrv.handler_class.batcher.calls
+        t1 = threading.Thread(target=fire, args=("cat",))
+        t2 = threading.Thread(target=fire, args=("dog",))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert results["cat"][0] == 200 and results["dog"][0] == 200
+        assert bsrv.handler_class.batcher.calls == calls0 + 1  # merged
+
+        # per-request isolation: each batched image equals the solo run
+        # with its own (seed, sketch, strength)
+        for name in cases:
+            seed, strength = cases[name]
+            solo = h.inject_pipe(
+                f"a {name}", num_inference_steps=2, width=128, height=128,
+                seed=seed, strength=strength,
+                spimg=sketches[name].astype(np.float32) / 255.0)
+            got = np.asarray(Image.open(_io.BytesIO(
+                base64.b64decode(results[name][1]["images"][0]))))
+            want = (np.clip(np.asarray(solo), 0, 1) * 255).astype(np.uint8)
+            diff = np.abs(got.astype(np.int16) - want.astype(np.int16))
+            # seed/sketch/strength-exact; bs2 vs bs1 XLA programs may
+            # round a few pixels one step apart (fusion order)
+            assert diff.max() <= 1 and (diff > 0).mean() < 1e-3, (
+                name, diff.max(), (diff > 0).mean())
+    finally:
+        bsrv.shutdown()
 
 
 def test_load_shedding_503(server):
