@@ -68,10 +68,22 @@ class BucketBatcher:
         self.batch_size = batch_size
         self.seed = seed
         self._epoch = 0
+        self._skip = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Position the next ``__iter__`` at ``epoch`` (deterministic
+        epoch-seeded shuffle — same resume contract as data.Loader)."""
+        self._epoch = int(epoch)
+
+    def skip_batches(self, n: int) -> None:
+        """Skip the first ``n`` batches of the NEXT ``__iter__`` only
+        (resume-to-position; the skipped batches are never loaded)."""
+        self._skip = int(n)
 
     def __iter__(self):
         rng = random.Random(self.seed + self._epoch)
         self._epoch += 1
+        skip, self._skip = self._skip, 0
         by_bucket: Dict[Tuple[int, int], List[int]] = {}
         for idx, bucket in self.assignments.items():
             by_bucket.setdefault(bucket, []).append(idx)
@@ -81,7 +93,7 @@ class BucketBatcher:
             for i in range(0, len(idxs) - self.batch_size + 1, self.batch_size):
                 batches.append((bucket, idxs[i : i + self.batch_size]))
         rng.shuffle(batches)
-        return iter(batches)
+        return iter(batches[skip:])
 
     def __len__(self):
         by_bucket: Dict[Tuple[int, int], int] = {}

@@ -41,6 +41,21 @@ class Loader:
         self.process_count = process_count
         self.prefetch = prefetch
         self._epoch = 0
+        self._skip = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Position the next ``__iter__`` at ``epoch`` (the epoch-seeded
+        shuffle is deterministic, so a resumed run re-creates exactly the
+        permutation the interrupted run was walking)."""
+        self._epoch = int(epoch)
+
+    def skip_batches(self, n: int) -> None:
+        """Skip the first ``n`` batches of the NEXT ``__iter__`` only —
+        resume-to-position (reference gap: accelerate.load_state never
+        calls skip_first_batches, trainer.py:172-175, so a resumed
+        reference run re-trains the epoch's head; here the skipped batches
+        are never even loaded from disk)."""
+        self._skip = int(n)
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.process_count
@@ -58,6 +73,7 @@ class Loader:
     def __iter__(self) -> Iterator[dict]:
         idx = self._indices()
         self._epoch += 1
+        skip, self._skip = self._skip, 0  # one-shot (resume positioning)
         n_batches = len(idx) // self.batch_size if self.drop_last else -(-len(idx) // self.batch_size)
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -65,7 +81,7 @@ class Loader:
 
         def producer():
             try:
-                for b in range(n_batches):
+                for b in range(skip, n_batches):
                     sel = idx[b * self.batch_size : (b + 1) * self.batch_size]
                     examples = [self.dataset[int(i)] for i in sel]
                     q.put(self.dataset.collate_fn(examples, pad_to=self.pad_to))
