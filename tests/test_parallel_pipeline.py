@@ -199,6 +199,68 @@ def test_dp_serving_end_to_end(dp_pipe, ref):
         bsrv.shutdown()
 
 
+def test_guided_vjp_ingredients_spmd_tight_parity(tiny):
+    """The guided step's INGREDIENTS — uncond eps, cond eps + taps, LGP
+    loss, and the vjp gradient w.r.t. the latents — fp32, data-mesh vs
+    single-device at TIGHT tolerance (VERDICT r4 item 7).
+
+    The full one-step latent compare CANNOT be pinned tightly even at one
+    step: the alpha = |dx|/|g| correction multiplies the gradient
+    DIRECTION by a data-dependent factor, and on random weights legitimate
+    SPMD-vs-single program rounding measured 0.12 max latent diff after
+    ONE step (same mechanism as the documented bs2-vs-bs1 latent drift,
+    runtime._sample_target_per). The quantities below are
+    pre-amplification: a real sharding fault — wrong pad-row handling,
+    misaligned batch split, missing collective — moves them grossly (O(1)
+    relative), while SPMD program rounding stays ~1e-6 relative."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sketch2img_tpu.core.schedulers import get_noise_level
+    from sketch2img_tpu.models.unet import concat_taps
+    from sketch2img_tpu.parallel.mesh import batch_sharding
+
+    c = tiny
+
+    def ingredients(up, lv, x, ctx_u, ctx_c, target):
+        t = jnp.full((x.shape[0],), 301, jnp.int32)
+        eps_u = c.unet_apply(up, x, t, ctx_u)
+
+        def loss_fn(xc):
+            eps_t, taps = c.unet_apply_taps(up, xc, t, ctx_c)
+            nl = get_noise_level(c.schedule, x, t)
+            feats = concat_taps(taps, x.shape[1], x.shape[2])
+            out = c.lgp_apply(lv, feats, nl)
+            return jnp.mean((target - out) ** 2), eps_t
+
+        (loss, eps_t), g = jax.value_and_grad(loss_fn, has_aux=True)(x)
+        return eps_u, eps_t, loss, g
+
+    up = jax.tree_util.tree_map(np.asarray, c.unet_params)
+    lv = jax.tree_util.tree_map(np.asarray, c.lgp_vars)
+    rng = np.random.default_rng(3)
+    b, hw = 8, 16
+    lat = rng.standard_normal((b, hw, hw, 4)).astype(np.float32)
+    ctx_u = (rng.standard_normal((b, 12, 32)) * 0.1).astype(np.float32)
+    ctx_c = (rng.standard_normal((b, 12, 32)) * 0.1).astype(np.float32)
+    target = rng.standard_normal((b, hw, hw, 4)).astype(np.float32)
+
+    single = jax.jit(ingredients)(up, lv, lat, ctx_u, ctx_c, target)
+
+    mesh = make_mesh(jax.devices()[:8])
+    rep = NamedSharding(mesh, P())
+    upm = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), up)
+    lvm = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), lv)
+    shard = lambda x: jax.device_put(x, batch_sharding(mesh, x.ndim))  # noqa: E731
+    spmd = jax.jit(ingredients)(upm, lvm, shard(lat), shard(ctx_u),
+                                shard(ctx_c), shard(target))
+
+    for name, s, m in zip(("eps_u", "eps_t", "loss", "g"), single, spmd):
+        s, m = np.asarray(s), np.asarray(m)
+        # scale-aware tight bound: 1e-4 of the quantity's own max magnitude
+        tol = 1e-4 * max(np.abs(s).max(), 1e-30)
+        np.testing.assert_allclose(m, s, atol=tol, rtol=0, err_msg=name)
+
+
 def test_tp_pipeline_guided_matches(tiny, ref):
     """(data=4, model=2): Megatron-sharded attention through the public
     pipeline — the SURVEY §7 HBM escape hatch as a user-facing feature,
