@@ -468,9 +468,15 @@ class SketchGuidedPipeline:
         tp = mesh.shape.get(MODEL_AXIS, 1)
         rep = NamedSharding(mesh, P())
 
+        multihost = jax.process_count() > 1
+
         def put(tree):
+            # multihost: route through host values (identical on every
+            # process — same deterministic load/init) so device_put to the
+            # process-spanning replicated sharding is unambiguous
             return jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, rep), tree)
+                lambda x: jax.device_put(
+                    np.asarray(x) if multihost else x, rep), tree)
 
         c = self.c
         if tp > 1:
@@ -492,12 +498,28 @@ class SketchGuidedPipeline:
 
     def _shard_batch(self, x):
         """Shard an array's leading (batch) axis over the mesh's data axis
-        (no-op without a mesh)."""
+        (no-op without a mesh). On a process-spanning mesh the value goes
+        through the host first (it is identical on every process — seeds
+        and prompts are request-level inputs every process sees), making
+        the split across processes' devices unambiguous."""
         if self.mesh is None:
             return x
         from sketch2img_tpu.parallel.mesh import batch_sharding
 
+        if jax.process_count() > 1:
+            x = np.asarray(x)
         return jax.device_put(x, batch_sharding(self.mesh, np.ndim(x)))
+
+    def _fetch(self, x) -> np.ndarray:
+        """Device -> host fetch that also works when the mesh spans
+        processes: a multihost global array isn't locally addressable, so
+        gather it (the serving recipe docs/SCALING.md promises — every
+        process returns the SAME full image batch)."""
+        if self.mesh is None or jax.process_count() == 1:
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
     def _trampoline_callback(self, i: int, t: int, latents: np.ndarray) -> None:
         if self._user_callback is not None:
@@ -674,7 +696,7 @@ class SketchGuidedPipeline:
                     else:
                         x, x0 = pfn(up, x, x0, lat0, ctx_u, ctx_c, gs, a, b)
                     if (b - 1) % cb_steps == 0:
-                        trampoline(b - 1, ts[b - 1], np.asarray(x))
+                        trampoline(b - 1, ts[b - 1], self._fetch(x))
                 return x
 
             return run
@@ -691,7 +713,7 @@ class SketchGuidedPipeline:
             for a, b in plan:
                 x, x0 = rfn(up, x, x0, ctx_pair, gs, a, b)
                 if (b - 1) % cb_steps == 0:
-                    trampoline(b - 1, ts[b - 1], np.asarray(x))
+                    trampoline(b - 1, ts[b - 1], self._fetch(x))
             return x
 
         return run
@@ -870,9 +892,9 @@ class SketchGuidedPipeline:
             if "safety" not in self._fns:
                 self._fns["safety"] = jax.jit(self.c.safety_run)
             img, flags = self._fns["safety"](self.c.safety_params, img)
-            self.last_nsfw_flags = np.asarray(flags)[:batch]  # drop mesh pad
+            self.last_nsfw_flags = self._fetch(flags)[:batch]  # drop mesh pad
             if self.last_nsfw_flags.any():
                 print("Potential NSFW content was detected in one or more "
                       "images. A black image will be returned instead.")
-        img = np.asarray(img, np.float32)[:batch]  # drop mesh pad rows
+        img = self._fetch(img).astype(np.float32)[:batch]  # drop mesh pad
         return img[0] if single else img
