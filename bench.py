@@ -314,9 +314,34 @@ def _enable_compile_cache():
     enable(os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
 
+def bench_quality():
+    """TPU-side output regression (VERDICT r4 item 3): run the tiny stack
+    in the bf16 serving configuration on the axon backend and
+    tolerance-compare against the committed device manifest
+    (tools/quality_check.py --device). Emits ok=1/0 as the JSON metric so
+    the driver records pass/fail."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+    import quality_check
+
+    manifest = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tests", "fixtures",
+                            "quality_manifest_device.json")
+    rc = quality_check.run_device_check(manifest, update=False)
+    _emit("device_quality_regression_ok", 1.0 if rc == 0 else 0.0,
+          "bool", 1.0 if rc == 0 else 0.0)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=int, default=4, choices=[1, 2, 3, 4, 5])
+    parser.add_argument("--quality", action="store_true",
+                        help="device-side output regression instead of a "
+                             "throughput config (tools/quality_check.py "
+                             "--device against the committed manifest)")
     parser.add_argument("--batch", type=int, default=None,
                         help="configs 3/4/5: images per call "
                              "(default 1; config 5 default 8)")
@@ -333,6 +358,9 @@ def main():
                              "estimate would flip it on")
     args = parser.parse_args()
     _enable_compile_cache()
+    if args.quality:
+        bench_quality()
+        return
     kw = {}
     if args.config in (3, 4, 5):
         if args.batch:

@@ -47,11 +47,17 @@ def test_tiny_quality_manifest_reproduces(regenerated):
     # same wheel on a different host flips low-order-bit pixels, so exact
     # hashes require the full toolchain AND the host CPU class to match
     # (older fixtures without a "cpu" stamp never hash-match).
+    # "devices": the committed manifest is generated under THIS harness's
+    # 8-virtual-device CPU config (quality_check --tiny forces it) — a
+    # different device count re-partitions XLA:CPU work and flips
+    # low-order bits with identical stats (measured, round 5)
     same_toolchain = (want["environment"]["jax"] == jax.__version__
                       and want["environment"]["backend"]
                       == jax.default_backend()
                       and want["environment"].get("cpu")
-                      == qc.cpu_fingerprint())
+                      == qc.cpu_fingerprint()
+                      and want["environment"].get("devices")
+                      == jax.device_count())
     mismatches = []
     for name, got in results.items():
         exp = want["results"][name]
@@ -67,3 +73,29 @@ def test_tiny_quality_manifest_reproduces(regenerated):
     if not same_toolchain:
         pytest.skip(f"hash check skipped: manifest from "
                     f"{want['environment']}, now jax {jax.__version__}")
+
+
+def test_device_digest_comparator_discriminates():
+    """The TPU-side manifest (tools/quality_check.py --device /
+    bench.py --quality) compares block-mean grids with tolerances instead
+    of hashes. The comparator must pass identical outputs, tolerate
+    rounding-level drift (accumulation-order changes — e.g. flash block
+    re-bucketing — are output-neutral up to ~1e-3), and trip on a
+    FUNCTIONAL fault (wrong masking / kv_len / pad handling shifts whole
+    regions)."""
+    import numpy as np
+
+    import quality_check as qc
+
+    rng = np.random.default_rng(0)
+    img = rng.random((128, 128, 3)).astype(np.float32)
+    d = qc._device_digest(img)
+    assert qc._device_close(d, d, 5e-3) == []
+    # rounding-level drift stays within tolerance
+    drift = qc._device_digest(img + rng.normal(0, 3e-4, img.shape))
+    assert qc._device_close(drift, d, 5e-3) == []
+    # a functional fault (e.g. a mis-masked tile) trips it
+    bad_img = img.copy()
+    bad_img[:16] = 0.0
+    bad = qc._device_digest(bad_img)
+    assert qc._device_close(bad, d, 5e-3)
