@@ -269,7 +269,7 @@ def bench_sketch_guided(batch=1, size=512, steps=50, remat=None):
           batch / dt, "images/sec/chip", (batch / dt) / BASELINES[4])
 
 
-def bench_attn_injected(batch=8):
+def bench_attn_injected(batch=8, steps=25):
     import dataclasses
 
     import jax
@@ -296,14 +296,16 @@ def bench_attn_injected(batch=8):
         lambda p, x, t, c, s, sc: unet.apply({"params": p}, x, t, c,
                                              injection_states=s,
                                              injection_scale=sc),
-        make_schedule(), 25, n,  # demo default steps (clip_guided_inf.py:181)
+        make_schedule(), steps, n,  # demo default 25 (clip_guided_inf.py:181)
     ))
     lat0 = jax.random.normal(jax.random.PRNGKey(0), (b, 64, 64, 4), jnp.float32)
     ctx = jax.random.normal(jax.random.PRNGKey(1), (2 * b, 77, 768), jnp.float32) * 0.1
     state = jax.random.normal(jax.random.PRNGKey(2), (2 * b, 257, 1024), jnp.float32) * 0.1
     dt = _timed(fn, (up, lat0, ctx, state, 0.5, 7.5))
-    _emit(f"attn_injected_batch{b}_512px_25step_images_per_sec_per_chip", b / dt,
-          "images/sec/chip", (b / dt) / BASELINES[5])
+    # the 25-step baseline estimate scales linearly in steps
+    base = BASELINES[5] * 25.0 / steps
+    _emit(f"attn_injected_batch{b}_512px_{steps}step_images_per_sec_per_chip",
+          b / dt, "images/sec/chip", (b / dt) / base)
 
 
 def _enable_compile_cache():
@@ -368,6 +370,7 @@ def main():
     if args.config in (3, 4):
         if args.size:
             kw["size"] = args.size
+    if args.config in (3, 4, 5):
         if args.steps:
             kw["steps"] = args.steps
         if args.config == 4 and args.remat:
