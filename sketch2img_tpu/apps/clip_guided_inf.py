@@ -68,6 +68,20 @@ def _init_latents_fn(h: int, w: int):
         jax.random.PRNGKey(s), (h, w, 4), jnp.float32)))
 
 
+@functools.lru_cache(maxsize=None)
+def _init_latents_one_fn(batch: int, h: int, w: int):
+    """Scalar seed -> (batch, h, w, 4): ONE key draws the whole batch with
+    DISTINCT per-image noise — the same one-generator surface as the main
+    pipeline (runtime._init_one_seed semantics; a replicated per-seed draw
+    would give duplicate prompts duplicate images). Bitwise equal to the
+    per-image path at batch 1."""
+    import jax
+    import jax.numpy as jnp
+
+    return jax.jit(lambda s: jax.random.normal(
+        jax.random.PRNGKey(s), (batch, h, w, 4), jnp.float32))
+
+
 class ClipGuidedPipeline:
     def __init__(self, model_path: str = None, attn_weights: str = None,
                  clip_weights: str = None, *, components=None,
@@ -162,10 +176,15 @@ class ClipGuidedPipeline:
                     "injection route on its own data mesh.")
             self._dp = mesh.shape[DATA_AXIS]
             rep = replicated(mesh)
+            multihost = jax.process_count() > 1
 
             def put(tree):
+                # multihost: route through host values (identical on every
+                # process — same deterministic load/init), like
+                # runtime.SketchGuidedPipeline._setup_mesh
                 return jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, rep), tree)
+                    lambda x: jax.device_put(
+                        np.asarray(x) if multihost else x, rep), tree)
 
             # replicate everything this route touches (no-op re-placement
             # for components a meshed SketchGuidedPipeline already put)
@@ -219,14 +238,14 @@ class ClipGuidedPipeline:
 
     def _shard_batch(self, x):
         """Shard an array's leading (batch) axis over the mesh's data axis
-        (no-op without a mesh)."""
+        (no-op without a mesh); multihost-safe via the helper SHARED with
+        runtime.SketchGuidedPipeline (parallel.shard_batch_array) so the
+        two serving routes can't drift."""
         if self.mesh is None:
             return x
-        import jax
+        from sketch2img_tpu.parallel.mesh import shard_batch_array
 
-        from sketch2img_tpu.parallel.mesh import batch_sharding
-
-        return jax.device_put(x, batch_sharding(self.mesh, np.ndim(x)))
+        return shard_batch_array(self.mesh, x)
 
     def __call__(self, prompt, *, negative_prompt="", num_inference_steps=25,
                  guidance_scale=7.5, width=512, height=512, seed=0,
@@ -283,8 +302,8 @@ class ClipGuidedPipeline:
             seeds = [canon_seed(s) if s != 0 else np.random.randint(2**31 - 1)
                      for s in seed]
         else:
-            seeds = [canon_seed(seed) if seed != 0
-                     else np.random.randint(2**31 - 1)] * batch_p
+            seeds = canon_seed(seed) if seed != 0 else np.random.randint(
+                2**31 - 1)  # scalar: one generator, distinct per-image draws
         if isinstance(spimg, (list, tuple)) and len(spimg) != batch_p:
             raise ValueError(
                 f"got {len(spimg)} sketches for a batch of {batch}")
@@ -300,16 +319,23 @@ class ClipGuidedPipeline:
 
         f = self.c.vae_scale_factor
         h, w = height // f, width // f
-        latents0 = _init_latents_fn(h, w)(
-            jnp.asarray(np.asarray(seeds, np.int32)))
+        if isinstance(seeds, list):
+            latents0 = _init_latents_fn(h, w)(
+                jnp.asarray(np.asarray(seeds, np.int32)))
+        else:
+            latents0 = _init_latents_one_fn(batch_p, h, w)(np.int32(seeds))
 
         if spimg is not None:
             hidden = self.encode_sketch(spimg)  # (1 or B_p, S, D)
             if hidden.shape[0] == 1 and batch_p > 1:
                 hidden = jnp.broadcast_to(
                     hidden, (batch_p,) + hidden.shape[1:])
-            # stack([zeros; h]) over the CFG pair (clip_guided_inf.py:107)
-            state = jnp.concatenate([jnp.zeros_like(hidden), hidden], axis=0)
+            # [zeros; h] over the CFG pair (clip_guided_inf.py:107)
+            from sketch2img_tpu.pipelines.attn_injected import (
+                cfg_injection_state,
+            )
+
+            state = cfg_injection_state(hidden)
             scale = strength  # set_scale(strength), clip_guided_inf.py:108
         else:
             state = jnp.zeros((2 * batch_p, self.n_tokens, self.state_dim))
@@ -343,7 +369,10 @@ class ClipGuidedPipeline:
             self._fns["decode"] = jax.jit(
                 functools.partial(latents_to_image, self.c.vae_decode))
         img = self._fns["decode"](self.c.vae_params, latents)
-        img = np.asarray(img, np.float32)[:batch]  # drop mesh pad rows
+        from sketch2img_tpu.parallel.mesh import fetch_global
+
+        # multihost-safe fetch; drop mesh pad rows
+        img = fetch_global(self.mesh, img).astype(np.float32)[:batch]
         return img[0] if single else img
 
 

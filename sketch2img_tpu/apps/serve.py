@@ -391,6 +391,23 @@ class GenerateHandler(BaseHTTPRequestHandler):
                             f"{n} prompts")
             if isinstance(req.get("seed"), list):
                 req["seed"] = list(map(int, req["seed"]))
+            else:
+                # non-divisible batches with a scalar seed fail inside the
+                # pipeline (mesh padding is only exact in per-image-seed
+                # mode) — surface them as client errors, the fix
+                # (seed=[...]) is client-side
+                if req.get("mode") == "inject":
+                    dp = getattr(self.inject_pipe, "_dp", 1)
+                    n = len(prompt) if isinstance(prompt, list) else 1
+                else:
+                    dp = getattr(self.pipe, "_dp", 1)
+                    n = ((len(prompt) if isinstance(prompt, list) else 1)
+                         * int(req.get("num_images_per_prompt", 1)))
+                if n > 1 and n % dp:
+                    raise ValueError(
+                        f"batch {n} doesn't divide the server's "
+                        f"data-parallel axis ({dp}): pass per-image seeds "
+                        "(seed=[...]) or use a divisible batch")
             if req.get("sketch_png_b64"):
                 _decode_sketch(req["sketch_png_b64"])  # validate early
         except Exception as e:  # malformed client input, not a server fault

@@ -4,7 +4,9 @@ from sketch2img_tpu.parallel.mesh import (
     batch_sharding,
     replicated,
     shard_params,
+    fetch_global,
     shard_batch,
+    shard_batch_array,
     initialize_distributed,
     sync_global_devices,
 )
@@ -14,7 +16,9 @@ __all__ = [
     "batch_sharding",
     "replicated",
     "shard_params",
+    "fetch_global",
     "shard_batch",
+    "shard_batch_array",
     "initialize_distributed",
     "sync_global_devices",
     "tp_param_specs",

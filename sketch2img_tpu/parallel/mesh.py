@@ -87,3 +87,27 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))), batch
     )
+
+
+def shard_batch_array(mesh: Mesh, x):
+    """Shard ONE array's leading axis over ``data`` — multihost-safe: on a
+    process-spanning mesh the value goes through the host first (it is
+    identical on every process — request-level inputs every process sees),
+    making the split across processes' devices unambiguous. Shared by both
+    serving pipelines (runtime.SketchGuidedPipeline and the injection
+    route) so the multihost contract can't drift between them."""
+    if jax.process_count() > 1:
+        x = np.asarray(x)
+    return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+
+
+def fetch_global(mesh: Optional[Mesh], x) -> np.ndarray:
+    """Device -> host fetch that also works when ``mesh`` spans processes:
+    a multihost global array isn't locally addressable, so gather it —
+    every process returns the SAME full batch (docs/SCALING.md serving
+    recipe)."""
+    if mesh is None or jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))

@@ -498,28 +498,20 @@ class SketchGuidedPipeline:
 
     def _shard_batch(self, x):
         """Shard an array's leading (batch) axis over the mesh's data axis
-        (no-op without a mesh). On a process-spanning mesh the value goes
-        through the host first (it is identical on every process — seeds
-        and prompts are request-level inputs every process sees), making
-        the split across processes' devices unambiguous."""
+        (no-op without a mesh); multihost-safe (parallel.shard_batch_array
+        — shared with the injection route so the contract can't drift)."""
         if self.mesh is None:
             return x
-        from sketch2img_tpu.parallel.mesh import batch_sharding
+        from sketch2img_tpu.parallel.mesh import shard_batch_array
 
-        if jax.process_count() > 1:
-            x = np.asarray(x)
-        return jax.device_put(x, batch_sharding(self.mesh, np.ndim(x)))
+        return shard_batch_array(self.mesh, x)
 
     def _fetch(self, x) -> np.ndarray:
-        """Device -> host fetch that also works when the mesh spans
-        processes: a multihost global array isn't locally addressable, so
-        gather it (the serving recipe docs/SCALING.md promises — every
-        process returns the SAME full image batch)."""
-        if self.mesh is None or jax.process_count() == 1:
-            return np.asarray(x)
-        from jax.experimental import multihost_utils
+        """Device -> host fetch, allgathered when the mesh spans processes
+        (parallel.fetch_global)."""
+        from sketch2img_tpu.parallel.mesh import fetch_global
 
-        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return fetch_global(self.mesh, x)
 
     def _trampoline_callback(self, i: int, t: int, latents: np.ndarray) -> None:
         if self._user_callback is not None:

@@ -195,6 +195,20 @@ def test_dp_serving_end_to_end(dp_pipe, ref):
             # uint8 response round-trip + bs2-vs-bs1 guided rounding
             # drift (see _assert_guided_close); identity is what matters
             assert diff.mean() < 4e-3, (name, diff.mean())
+
+        # a scalar-seed batch that doesn't divide the data axis is a 400
+        # client error (the fix — per-image seed lists — is client-side),
+        # not a 500 from the pipeline's internal ValueError
+        conn = http.client.HTTPConnection("127.0.0.1", bsrv.server_port,
+                                          timeout=600)
+        conn.request("POST", "/generate", body=json.dumps({
+            "prompt": ["a", "b", "c"], "num_inference_steps": 2,
+            "width": 128, "height": 128, "seed": 7}))
+        resp = conn.getresponse()
+        body = json.loads(resp.read())
+        conn.close()
+        assert resp.status == 400, (resp.status, body)
+        assert "per-image seeds" in body["error"]
     finally:
         bsrv.shutdown()
 

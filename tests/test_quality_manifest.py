@@ -75,6 +75,16 @@ def test_tiny_quality_manifest_reproduces(regenerated):
                     f"{want['environment']}, now jax {jax.__version__}")
 
 
+def test_device_check_missing_manifest_fails_loudly(tmp_path):
+    """Without --update, a missing device manifest must be a non-zero
+    failure BEFORE any device work — not a silent baseline-write that
+    reports green (a typo'd --manifest path would otherwise turn the
+    regression check into a no-op)."""
+    import quality_check as qc
+
+    assert qc.run_device_check(str(tmp_path / "nope.json"), update=False) == 2
+
+
 def test_device_digest_comparator_discriminates():
     """The TPU-side manifest (tools/quality_check.py --device /
     bench.py --quality) compares block-mean grids with tolerances instead

@@ -163,6 +163,19 @@ def test_generate_inject_route(server):
     assert "strengths" in json.loads(data7)["error"]
 
 
+def test_inject_scalar_seed_batch_draws_distinct_noise(server):
+    """A prompt list with ONE scalar seed must draw distinct per-image
+    initial noise from the single generator (the main pipeline's
+    one-generator surface, runtime._init_one_seed) — not replicate the
+    seed per image, which would return duplicate images for duplicate
+    prompts."""
+    inj = server.handler_class.inject_pipe
+    imgs = inj(["a cat", "a cat"], num_inference_steps=2,
+               width=128, height=128, seed=5)
+    assert imgs.shape == (2, 128, 128, 3)
+    assert np.abs(imgs[0] - imgs[1]).max() > 1e-3
+
+
 def test_inject_route_requires_weights(server):
     """A server started without injection weights rejects mode=inject
     with a client error, not a crash."""

@@ -279,6 +279,13 @@ def run_device_cases(size=512, steps=2):
 
 
 def run_device_check(manifest_path: str, update: bool) -> int:
+    if not update and not os.path.exists(manifest_path):
+        # checked FIRST: a missing manifest must be a loud failure, not a
+        # silent baseline-write reporting green after a ~30-min TPU run
+        print(f"no device manifest at {manifest_path} — run with --update "
+              "to create one")
+        return 2
+
     import jax
 
     backend = jax.default_backend()
@@ -287,7 +294,7 @@ def run_device_check(manifest_path: str, update: bool) -> int:
         return 2
     results = run_device_cases()
     record = {"environment": environment(), "results": results}
-    if update or not os.path.exists(manifest_path):
+    if update:
         with open(manifest_path, "w") as f:
             json.dump(record, f, indent=2, sort_keys=True)
         print(f"wrote {manifest_path}")
